@@ -1,0 +1,452 @@
+"""SLOW5 (ASCII) and BLOW5 (binary) writers + readers, dependency-free.
+
+The reference delegates BLOW5/SLOW5 output to pyslow5's C bindings
+(src/seq2squiggle/signal_io.py:62-172). That wheel is not part of this
+build, so the codec is implemented here from the SLOW5 format specification
+(v1.0, slow5 version 0.2.0):
+
+ASCII (.slow5):
+    #slow5_version\t0.2.0
+    #num_read_groups\t1
+    @<attr>\t<value>            (one line per read-group header attribute)
+    #<type list>                (primary + aux column types)
+    #<column name list>
+    one TSV line per read; raw_signal is comma-separated int16 values.
+
+Binary (.blow5), little-endian throughout:
+    [0..5]   magic "BLOW5\\x01"
+    [6..8]   version 0.2.0 (three uint8)
+    [9]      record compression: 0=none, 1=zlib
+    [10]     signal compression: 0=none, 1=svb-zd
+    [11..14] num_read_groups uint32
+    [15..63] zero padding
+    [64..67] header_size uint32 = byte length of the ASCII header block
+    [68.. ]  ASCII header block (same text as .slow5 header, uncompressed)
+    records: [record_size uint32][record bytes, zlib-compressed if enabled]
+    EOF marker: "5WOLB"
+
+    record bytes (uncompressed layout):
+      uint16 read_id_len; char read_id[];
+      uint32 read_group; double digitisation; double offset; double range;
+      double sampling_rate; uint64 len_raw_signal;
+      raw signal: int16[len] (signal compression none) or
+                  uint64 compressed_size; svb-zd bytes (signal compression 1)
+      aux fields in header order:
+        char* -> uint16 len + bytes; double/int32/uint8/uint64 -> fixed width.
+
+svb-zd is StreamVByte over zig-zag-encoded first differences of the int16
+signal (the scheme slow5lib uses): a control stream of 2-bit
+bytes-per-value codes packed 4 values/byte, then the variable-length data
+stream.
+
+Note: the EOF marker and per-record framing follow the published spec to the
+best of this implementation's knowledge; files round-trip through the reader
+in this module, which is the contract the test suite enforces.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import struct
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("seq2squiggle_tpu")
+
+SLOW5_VERSION = "0.2.0"
+_MAGIC = b"BLOW5\x01"
+_EOF = b"5WOLB"
+_HEADER_SIZE_OFFSET = 64
+
+# Record compression codes
+PRESS_NONE = 0
+PRESS_ZLIB = 1
+# Signal compression codes
+SIGPRESS_NONE = 0
+SIGPRESS_SVB_ZD = 1
+
+# Primary columns (type, name) in spec order.
+_PRIMARY = [
+    ("char*", "read_id"),
+    ("uint32_t", "read_group"),
+    ("double", "digitisation"),
+    ("double", "offset"),
+    ("double", "range"),
+    ("double", "sampling_rate"),
+    ("uint64_t", "len_raw_signal"),
+    ("int16_t*", "raw_signal"),
+]
+# Aux columns written by this framework (matches the fields the reference
+# populates at signal_io.py:156-161).
+_AUX = [
+    ("char*", "channel_number"),
+    ("double", "median_before"),
+    ("int32_t", "read_number"),
+    ("uint8_t", "start_mux"),
+    ("uint64_t", "start_time"),
+]
+
+
+# ---------------------------------------------------------------------------
+# svb-zd signal codec (StreamVByte over zig-zag deltas), vectorised numpy
+# ---------------------------------------------------------------------------
+
+
+def zigzag_delta_encode(signal: np.ndarray) -> np.ndarray:
+    """int16 signal -> uint32 zig-zag-encoded first differences."""
+    s = signal.astype(np.int32)
+    deltas = np.diff(s, prepend=np.int32(0))
+    return ((deltas << 1) ^ (deltas >> 31)).astype(np.uint32)
+
+
+def zigzag_delta_decode(zz: np.ndarray) -> np.ndarray:
+    deltas = (zz >> np.uint32(1)).astype(np.int32) ^ -(zz & np.uint32(1)).astype(
+        np.int32
+    )
+    return np.cumsum(deltas, dtype=np.int64).astype(np.int16)
+
+
+def svb_encode(values: np.ndarray) -> bytes:
+    """StreamVByte-encode uint32 values: control stream + data stream."""
+    n = len(values)
+    if n == 0:
+        return b""
+    v = values.astype(np.uint32)
+    nbytes = np.ones(n, np.uint8)
+    nbytes[v > 0xFF] = 2
+    nbytes[v > 0xFFFF] = 3
+    nbytes[v > 0xFFFFFF] = 4
+    codes = nbytes - 1  # 2-bit codes
+
+    # Control stream: 4 codes per byte, little positions first.
+    n_ctrl = (n + 3) // 4
+    codes_padded = np.zeros(n_ctrl * 4, np.uint8)
+    codes_padded[:n] = codes
+    ctrl = (
+        codes_padded[0::4]
+        | (codes_padded[1::4] << 2)
+        | (codes_padded[2::4] << 4)
+        | (codes_padded[3::4] << 6)
+    ).astype(np.uint8)
+
+    # Data stream: for each value, its nbytes low-order bytes.
+    as_bytes = v.view(np.uint8).reshape(n, 4)  # little-endian lanes
+    total = int(nbytes.sum())
+    out = np.empty(total, np.uint8)
+    ends = np.cumsum(nbytes.astype(np.int64))
+    starts = ends - nbytes
+    # Scatter via a mask: position j of value i is kept iff j < nbytes[i].
+    lane = np.arange(4, dtype=np.uint8)
+    keep = lane[None, :] < nbytes[:, None]
+    out[:] = as_bytes[keep]
+    del starts
+    return ctrl.tobytes() + out.tobytes()
+
+
+def svb_decode(data: bytes, count: int) -> np.ndarray:
+    """Decode StreamVByte stream back to uint32 values."""
+    if count == 0:
+        return np.zeros(0, np.uint32)
+    n_ctrl = (count + 3) // 4
+    ctrl = np.frombuffer(data[:n_ctrl], np.uint8)
+    codes = np.empty(n_ctrl * 4, np.uint8)
+    codes[0::4] = ctrl & 3
+    codes[1::4] = (ctrl >> 2) & 3
+    codes[2::4] = (ctrl >> 4) & 3
+    codes[3::4] = (ctrl >> 6) & 3
+    nbytes = codes[:count].astype(np.int64) + 1
+    payload = np.frombuffer(data[n_ctrl:], np.uint8)
+    lanes = np.zeros((count, 4), np.uint8)
+    keep = np.arange(4)[None, :] < nbytes[:, None]
+    lanes[keep] = payload[: int(nbytes.sum())]
+    return lanes.view(np.uint32)[:, 0].copy()
+
+
+# ---------------------------------------------------------------------------
+# Record encoding
+# ---------------------------------------------------------------------------
+
+
+def _encode_record(
+    read_id: str,
+    signal: np.ndarray,
+    digitisation: float,
+    offset: float,
+    range_val: float,
+    sampling_rate: float,
+    aux: dict,
+    signal_press: int,
+) -> bytes:
+    rid = read_id.encode("ascii")
+    parts = [struct.pack("<H", len(rid)), rid]
+    parts.append(
+        struct.pack(
+            "<Idddd",
+            0,  # read_group
+            digitisation,
+            offset,
+            range_val,
+            sampling_rate,
+        )
+    )
+    sig = np.ascontiguousarray(signal, dtype="<i2")
+    parts.append(struct.pack("<Q", len(sig)))
+    if signal_press == SIGPRESS_SVB_ZD:
+        comp = svb_encode(zigzag_delta_encode(sig))
+        parts.append(struct.pack("<Q", len(comp)))
+        parts.append(comp)
+    else:
+        parts.append(sig.tobytes())
+    chan = str(aux["channel_number"]).encode("ascii")
+    parts.append(struct.pack("<H", len(chan)))
+    parts.append(chan)
+    parts.append(
+        struct.pack(
+            "<diBQ",
+            float(aux["median_before"]),
+            int(aux["read_number"]),
+            int(aux["start_mux"]),
+            int(aux["start_time"]),
+        )
+    )
+    return b"".join(parts)
+
+
+def _decode_record(buf: bytes, signal_press: int) -> dict:
+    off = 0
+    (rid_len,) = struct.unpack_from("<H", buf, off)
+    off += 2
+    read_id = buf[off : off + rid_len].decode("ascii")
+    off += rid_len
+    read_group, dig, offs, rng, rate = struct.unpack_from("<Idddd", buf, off)
+    off += 4 + 8 * 4
+    (n_sig,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if signal_press == SIGPRESS_SVB_ZD:
+        (comp_len,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        zz = svb_decode(buf[off : off + comp_len], n_sig)
+        signal = zigzag_delta_decode(zz)
+        off += comp_len
+    else:
+        signal = np.frombuffer(buf, "<i2", count=n_sig, offset=off).copy()
+        off += 2 * n_sig
+    (chan_len,) = struct.unpack_from("<H", buf, off)
+    off += 2
+    channel_number = buf[off : off + chan_len].decode("ascii")
+    off += chan_len
+    median_before, read_number, start_mux, start_time = struct.unpack_from(
+        "<diBQ", buf, off
+    )
+    return {
+        "read_id": read_id,
+        "read_group": read_group,
+        "digitisation": dig,
+        "offset": offs,
+        "range": rng,
+        "sampling_rate": rate,
+        "len_raw_signal": n_sig,
+        "signal": signal,
+        "channel_number": channel_number,
+        "median_before": median_before,
+        "read_number": read_number,
+        "start_mux": start_mux,
+        "start_time": start_time,
+    }
+
+
+def _header_text(header_attrs: Dict[str, object]) -> str:
+    lines = [f"#slow5_version\t{SLOW5_VERSION}", "#num_read_groups\t1"]
+    for key, value in header_attrs.items():
+        lines.append(f"@{key}\t{value}")
+    types = "\t".join(t for t, _ in _PRIMARY + _AUX)
+    names = "\t".join(n for _, n in _PRIMARY + _AUX)
+    lines.append(f"#{types}")
+    lines.append(f"#{names}")
+    return "\n".join(lines) + "\n"
+
+
+def _fmt_double(x: float) -> str:
+    return f"{float(x):.17g}"
+
+
+class Slow5FileWriter:
+    """Low-level appendable SLOW5/BLOW5 file writer.
+
+    Format is chosen by extension: .slow5 -> ASCII, .blow5 -> binary. Binary
+    files default to zlib record compression + svb-zd signal compression
+    (the pyslow5 defaults the reference relies on).
+    """
+
+    def __init__(
+        self,
+        filename: str,
+        record_press: int = PRESS_ZLIB,
+        signal_press: int = SIGPRESS_SVB_ZD,
+    ):
+        self.filename = str(filename)
+        self.binary = self.filename.endswith(".blow5")
+        self.record_press = record_press if self.binary else PRESS_NONE
+        self.signal_press = signal_press if self.binary else SIGPRESS_NONE
+        self._fh = None
+        self._header_written = False
+
+    def open(self, header_attrs: Dict[str, object]):
+        exists = os.path.exists(self.filename)
+        if exists:
+            # Append: strip the EOF marker of the previous session (binary).
+            self._fh = open(self.filename, "r+b")
+            self._fh.seek(0, os.SEEK_END)
+            if self.binary and self._fh.tell() >= len(_EOF):
+                self._fh.seek(-len(_EOF), os.SEEK_END)
+                if self._fh.read(len(_EOF)) == _EOF:
+                    self._fh.seek(-len(_EOF), os.SEEK_END)
+                    self._fh.truncate()
+            self._header_written = True
+            return
+        self._fh = open(self.filename, "wb")
+        text = _header_text(header_attrs).encode("ascii")
+        if self.binary:
+            head = bytearray(_HEADER_SIZE_OFFSET + 4)
+            head[0:6] = _MAGIC
+            head[6:9] = bytes([0, 2, 0])
+            head[9] = self.record_press
+            head[10] = self.signal_press
+            struct.pack_into("<I", head, 11, 1)  # num_read_groups
+            struct.pack_into("<I", head, _HEADER_SIZE_OFFSET, len(text))
+            self._fh.write(bytes(head))
+            self._fh.write(text)
+        else:
+            self._fh.write(text)
+        self._header_written = True
+
+    def write_record(
+        self,
+        read_id: str,
+        signal: np.ndarray,
+        digitisation: float,
+        offset: float,
+        range_val: float,
+        sampling_rate: float,
+        aux: dict,
+    ):
+        if self.binary:
+            rec = _encode_record(
+                read_id, signal, digitisation, offset, range_val,
+                sampling_rate, aux, self.signal_press,
+            )
+            if self.record_press == PRESS_ZLIB:
+                rec = zlib.compress(rec, 1)
+            self._fh.write(struct.pack("<I", len(rec)))
+            self._fh.write(rec)
+        else:
+            sig = np.asarray(signal, np.int16)
+            fields = [
+                read_id,
+                "0",
+                _fmt_double(digitisation),
+                _fmt_double(offset),
+                _fmt_double(range_val),
+                _fmt_double(sampling_rate),
+                str(len(sig)),
+                ",".join(map(str, sig.tolist())),
+                str(aux["channel_number"]),
+                _fmt_double(aux["median_before"]),
+                str(int(aux["read_number"])),
+                str(int(aux["start_mux"])),
+                str(int(aux["start_time"])),
+            ]
+            self._fh.write(("\t".join(fields) + "\n").encode("ascii"))
+
+    def close(self):
+        if self._fh is None:
+            return
+        if self.binary:
+            self._fh.write(_EOF)
+        self._fh.flush()
+        self._fh.close()
+        self._fh = None
+
+
+def read_slow5(path: str) -> Tuple[Dict[str, str], List[dict]]:
+    """Read a .slow5/.blow5 file written by this module.
+
+    Returns (header_attrs, records). Used for tests and downstream analysis.
+    """
+    path = str(path)
+    if path.endswith(".blow5"):
+        return _read_blow5(path)
+    return _read_ascii(path)
+
+
+def _read_ascii(path: str):
+    attrs: Dict[str, str] = {}
+    records = []
+    names: Optional[List[str]] = None
+    with open(path, "r", encoding="ascii") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("@"):
+                key, _, value = line[1:].partition("\t")
+                attrs[key] = value
+            elif line.startswith("#"):
+                parts = line[1:].split("\t")
+                if parts and parts[0] == "read_id":
+                    names = parts
+            else:
+                assert names is not None, "record before column header"
+                parts = line.split("\t")
+                rec = dict(zip(names, parts))
+                rec["signal"] = np.array(
+                    [int(x) for x in rec.pop("raw_signal").split(",") if x != ""],
+                    np.int16,
+                )
+                rec["read_group"] = int(rec["read_group"])
+                for f in ("digitisation", "offset", "range", "sampling_rate",
+                          "median_before"):
+                    rec[f] = float(rec[f])
+                for f in ("len_raw_signal", "read_number", "start_mux",
+                          "start_time"):
+                    rec[f] = int(rec[f])
+                records.append(rec)
+    return attrs, records
+
+
+def _read_blow5(path: str):
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:6] == _MAGIC, "bad BLOW5 magic"
+    record_press = data[9]
+    signal_press = data[10]
+    (header_size,) = struct.unpack_from("<I", data, _HEADER_SIZE_OFFSET)
+    text_start = _HEADER_SIZE_OFFSET + 4
+    header_text = data[text_start : text_start + header_size].decode("ascii")
+    attrs = {}
+    for line in header_text.splitlines():
+        if line.startswith("@"):
+            key, _, value = line[1:].partition("\t")
+            attrs[key] = value
+    off = text_start + header_size
+    records = []
+    while off < len(data) - len(_EOF) + 1:
+        if data[off : off + len(_EOF)] == _EOF:
+            break
+        (size,) = struct.unpack_from("<I", data, off)
+        off += 4
+        rec = data[off : off + size]
+        off += size
+        if record_press == PRESS_ZLIB:
+            rec = zlib.decompress(rec)
+        records.append(_decode_record(rec, signal_press))
+    return attrs, records
+
+
+def iter_slow5_signals(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    _, records = read_slow5(path)
+    for rec in records:
+        yield rec["read_id"], rec["signal"]

@@ -1,0 +1,251 @@
+"""Signal-file writers: BLOW5/SLOW5 (streaming, appendable) and POD5.
+
+Capability parity with the reference signal_io module
+(src/seq2squiggle/signal_io.py:62-282): same header fields, same
+digitisation math, same per-read metadata (offset/median_before draws in
+non-ideal mode, cumulative start_time, RNA 3'->5' reversal, indexed or
+preserved read IDs).
+
+Differences by design:
+  - Signals arrive already digitised to int16 (the TPU inner loop performs
+    round(sig * digitisation / range - offset_mean) on device); writers also
+    accept float pA arrays and digitise on the host for the POD5/test paths.
+  - read_number / indexed UUIDs count across streaming flushes (the
+    reference restarts both at every flush, producing duplicate read IDs in
+    long streaming runs — a bug we do not replicate).
+"""
+
+from __future__ import annotations
+
+import logging
+import uuid
+from datetime import datetime
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..profiles import get_seq_kit_and_flow_cell
+from .slow5 import Slow5FileWriter
+
+logger = logging.getLogger("seq2squiggle_tpu")
+
+
+def indexed_uuid(index: int) -> uuid.UUID:
+    """Deterministic incrementing UUID (reference: signal_io.py:19-23)."""
+    return uuid.UUID(f"00000000-0000-0000-0000-{index:012d}")
+
+
+def digitise(signal_pa: np.ndarray, digitisation: float, range_val: float,
+             offset_mean: float) -> np.ndarray:
+    """pA -> raw int16 ADC (reference: signal_io.py:134-138; np.round is
+    round-half-to-even)."""
+    raw = np.round(
+        signal_pa.astype(np.float32) * digitisation / range_val - offset_mean
+    )
+    return raw.astype(np.int16)
+
+
+class _WriterBase:
+    def __init__(self, filename, profile: dict, ideal_mode: bool,
+                 profile_name: str, preserve_read_ids: bool,
+                 rng: Optional[np.random.Generator] = None):
+        self.filename = str(filename)
+        self.profile = profile
+        self.ideal_mode = ideal_mode
+        self.profile_name = profile_name
+        self.preserve_read_ids = preserve_read_ids
+        self.signals: Optional[Dict[str, np.ndarray]] = None  # reference-compat
+        self.median_before = float(profile["median_before_mean"])
+        self.median_before_std = float(profile["median_before_std"])
+        self.offset = float(profile["offset_mean"])
+        self.offset_std = float(profile["offset_std"])
+        self.digitisation = float(profile["digitisation"])
+        self.signal_range = float(profile["range"])
+        self.sample_rate = float(profile["sample_rate"])
+        self.start_time = 0
+        self.read_counter = 0  # persists across flushes
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self.is_rna = profile_name.startswith("rna")
+
+    def _per_read_metadata(self):
+        if self.ideal_mode:
+            return self.median_before, self.offset
+        return (
+            float(self.rng.normal(self.median_before, self.median_before_std)),
+            float(self.rng.normal(self.offset, self.offset_std)),
+        )
+
+    def _prepare_signal(self, signal: np.ndarray) -> np.ndarray:
+        if signal.dtype != np.int16:
+            signal = digitise(
+                np.asarray(signal), self.digitisation, self.signal_range, self.offset
+            )
+        if self.is_rna:
+            signal = np.ascontiguousarray(signal[::-1])
+        return signal
+
+    def _read_id(self, read_id: str) -> str:
+        if self.preserve_read_ids:
+            return str(read_id)
+        return str(indexed_uuid(self.read_counter + 1))
+
+    def save(self):
+        """Reference-compatible entry point: consume self.signals and write."""
+        if not self.signals:
+            logger.warning("No signals were found; nothing exported")
+            raise ValueError("No signals were found; nothing exported")
+        self.write_batch(self.signals)
+        self.signals = None
+
+    def write_batch(self, signals: Dict[str, np.ndarray]):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class BLOW5Writer(_WriterBase):
+    """Streaming SLOW5/BLOW5 writer (appendable across flushes)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._file = Slow5FileWriter(self.filename)
+        self._opened = False
+
+    def _header_attrs(self):
+        seq_kit, flow_cell = get_seq_kit_and_flow_cell(self.profile_name)
+        return {
+            "asic_id": "asic_id_0",
+            "exp_start_time": datetime.now().strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "run_id": "run_id_0",
+            "flow_cell_id": "FAN00000",
+            "flow_cell_product_code": flow_cell,
+            "experiment_type": "rna" if self.is_rna else "genomic_dna",
+            "sample_frequency": int(self.sample_rate),
+            "sequencing_kit": seq_kit,
+        }
+
+    def write_batch(self, signals: Dict[str, np.ndarray]):
+        if not self._opened:
+            self._file.open(self._header_attrs())
+            self._opened = True
+        for read_id, signal in signals.items():
+            signal = np.asarray(signal)
+            if signal.size == 0:
+                logger.debug(f"Empty signal, skipping {read_id}")
+                continue
+            median_before_value, offset_value = self._per_read_metadata()
+            raw = self._prepare_signal(signal)
+            aux = {
+                "channel_number": "0",
+                "median_before": median_before_value,
+                "read_number": self.read_counter,
+                "start_mux": 0,
+                "start_time": self.start_time,
+            }
+            self._file.write_record(
+                self._read_id(read_id),
+                raw,
+                self.digitisation,
+                offset_value,
+                self.signal_range,
+                self.sample_rate,
+                aux,
+            )
+            self.start_time += int(len(raw))
+            self.read_counter += 1
+
+    def close(self):
+        if self._opened:
+            self._file.close()
+            self._opened = False
+
+
+class POD5Writer(_WriterBase):
+    """POD5 writer via the `pod5` package when present.
+
+    The reference buffers all reads in RAM and writes once (signal_io.py:
+    175-282, warned about at inference.py:72-79); we keep that contract. The
+    pod5 wheel (Arrow/C++) is not part of this image; constructing this
+    writer without it raises with the same guidance the reference logs.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        try:
+            import pod5  # noqa: F401
+
+            self._pod5 = pod5
+        except ImportError as exc:  # pragma: no cover - env without pod5
+            raise ImportError(
+                "POD5 export requires the 'pod5' package, which is not "
+                "installed in this environment. Export to BLOW5/SLOW5 instead "
+                "(and convert with blue-crab if POD5 is required)."
+            ) from exc
+        self._pending = []
+
+    def write_batch(self, signals: Dict[str, np.ndarray]):
+        pod5 = self._pod5
+        for read_id, signal in signals.items():
+            signal = np.asarray(signal)
+            if signal.size == 0:
+                logger.debug(f"Empty signal, skipping {read_id}")
+                continue
+            median_before_value, offset_value = self._per_read_metadata()
+            raw = self._prepare_signal(signal)
+            pore = pod5.Pore(channel=123, well=3, pore_type="not_set")
+            calibration = pod5.Calibration(
+                offset=offset_value, scale=self.signal_range / self.digitisation
+            )
+            end_reason = pod5.EndReason(
+                reason=pod5.EndReasonEnum.SIGNAL_POSITIVE, forced=False
+            )
+            if self.preserve_read_ids:
+                rid = uuid.uuid5(uuid.NAMESPACE_DNS, str(read_id))
+            else:
+                rid = indexed_uuid(self.read_counter + 1)
+            self._pending.append(
+                dict(
+                    read_id=rid,
+                    pore=pore,
+                    calibration=calibration,
+                    read_number=self.read_counter,
+                    start_sample=0,
+                    median_before=median_before_value,
+                    end_reason=end_reason,
+                    signal=raw,
+                )
+            )
+            self.read_counter += 1
+
+    def close(self):
+        if not self._pending:
+            return
+        pod5 = self._pod5
+        seq_kit, flow_cell = get_seq_kit_and_flow_cell(self.profile_name)
+        run_info = pod5.RunInfo(
+            acquisition_id="",
+            acquisition_start_time=datetime.now(),
+            adc_max=4095,
+            adc_min=-4096,
+            context_tags={},
+            experiment_name="",
+            flow_cell_id="",
+            flow_cell_product_code=flow_cell,
+            protocol_name="",
+            protocol_run_id="",
+            protocol_start_time=datetime.now(),
+            sample_id="test",
+            sample_rate=int(self.sample_rate),
+            sequencing_kit=seq_kit,
+            sequencer_position="",
+            sequencer_position_type="",
+            software="",
+            system_name="",
+            system_type="",
+            tracking_id={},
+        )
+        with pod5.Writer(self.filename) as writer:
+            for kw in self._pending:
+                writer.add_read(pod5.Read(run_info=run_info, **kw))
+        self._pending = []

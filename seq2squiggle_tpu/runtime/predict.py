@@ -1,0 +1,156 @@
+"""The jitted squiggle-simulation inner loop.
+
+One XLA program per knob configuration covers the reference's whole
+predict_step (src/seq2squiggle/model.py:195-251) plus digitisation
+(signal_io.py:134-138):
+
+  int8 k-mer codes -> one-hot -> encoder -> noise head
+    -> duration draw (Gamma head sample | static normal | constant)
+    -> alignment-matrix length regulation (MXU einsum)
+    -> decoder -> x scaling_max_value -> amplitude noise on non-zero frames
+    -> clamp >= 0 -> int16 digitisation + non-zero mask
+
+Everything is static-shaped: (B, K=16) chunks in, (B, T=250) samples out.
+Inference knobs (sampling toggles, dwell/noise statistics) are baked into
+the compiled program as constants - they are fixed for a simulation run, and
+constant-folding them lets XLA fuse the noise/digitisation epilogue.
+
+Host <-> device traffic per batch is B*16*k int8 in (k-mer codes; one-hot
+happens on device) and B*250 int16 + packed bitmask out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.fft_model import (
+    decoder_forward,
+    duration_gamma_params,
+    encoder_forward,
+    noise_head,
+)
+from ..ops.regulator import length_regulate
+from ..sampling import per_chunk_keys, sample_gamma_durations, sample_normal
+
+
+@dataclasses.dataclass(frozen=True)
+class PredictKnobs:
+    """Inference-time controls (reference CLI: --dwell-mean/std, --noise-std,
+    --noise-sampler/--duration-sampler, --min_noise, --min_duration)."""
+
+    dwell_mean: float = 12.5
+    dwell_std: float = 0.0
+    noise_std: float = 2.0
+    noise_sampling: bool = True
+    duration_sampling: bool = True
+    min_noise: float = 0.0
+    min_duration: int = 3
+    scaling_max_value: float = 165.0
+    # digitisation (from the chemistry profile)
+    digitisation: float = 2048.0
+    signal_range: float = 281.345551
+    offset_mean: float = -127.5655735
+
+
+def _compute_durations(
+    params: dict,
+    emb_out: jnp.ndarray,
+    keys: jax.Array,
+    knobs: PredictKnobs,
+    config: dict,
+) -> jnp.ndarray:
+    """Integer dwell counts per k-mer, (B, K) int32."""
+    B, K = emb_out.shape[:2]
+    if knobs.duration_sampling:
+        conc, rate = duration_gamma_params(params, emb_out, config)
+        dur = sample_gamma_durations(keys, conc, rate)
+        dur = jnp.maximum(dur, 1.0)  # reference: modules.py:223
+        dur = jnp.maximum(dur, float(knobs.min_duration))  # modules.py:414
+    elif knobs.dwell_std > 0:
+        noise = sample_normal(keys, (K,))
+        dur = knobs.dwell_mean + knobs.dwell_std * noise
+        dur = jnp.maximum(dur, float(knobs.min_duration))
+    else:
+        dur = jnp.full((B, K), knobs.dwell_mean, jnp.float32)
+    # reference rounds sampled durations to int (modules.py:437-439);
+    # jnp.round is round-half-to-even, same as torch.round.
+    return jnp.round(dur).astype(jnp.int32)
+
+
+def predict_step(
+    params: dict,
+    codes: jnp.ndarray,  # (B, K, k) int8 k-mer base codes
+    chunk_idx: jnp.ndarray,  # (B,) int32 global chunk indices (RNG + masking)
+    base_key: jax.Array,
+    *,
+    config: dict,
+    knobs: PredictKnobs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (signal_raw (B, T) int16, keep_mask (B, T) bool).
+
+    keep_mask marks samples to export: the final (noise-added, clamped)
+    current is non-zero — identical to the reference's export-side
+    `tensor[tensor.nonzero()]` stripping (model.py:286).
+    """
+    compute_dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+    B, K, k = codes.shape
+    T = config["max_signal_len"]
+    n_chars = len(config["allowed_chars"])
+
+    # One-hot on device: code n_chars (unknown base) maps to the all-zero row,
+    # matching the reference host-side one_hot_encode (utils.py:56-89) which
+    # leaves unmapped characters as zeros.
+    one_hot = jax.nn.one_hot(codes, n_chars, dtype=compute_dtype)
+    one_hot = one_hot.reshape(B, K, k * n_chars)
+
+    enc_out, emb_out = encoder_forward(params, one_hot, config)
+
+    # Heads run on the pre-PE embedding in float32 (softplus epilogues).
+    emb32 = emb_out.astype(jnp.float32)
+    noise_stdev = noise_head(params, emb32, config)  # (B, K)
+
+    chunk_keys = per_chunk_keys(base_key, chunk_idx)
+    dur_keys = jax.vmap(lambda c: jax.random.fold_in(c, 1))(chunk_keys)
+    durations = _compute_durations(params, emb32, dur_keys, knobs, config)
+
+    expanded, noise_ext, _ = length_regulate(
+        enc_out, durations, T, x_noise=noise_stdev[..., None]
+    )
+
+    pred = decoder_forward(params, expanded, config)  # (B, T, 1)
+    pred = pred.astype(jnp.float32)[..., 0] * knobs.scaling_max_value  # (B, T)
+
+    if knobs.noise_std > 0:
+        non_zero = pred != 0.0
+        noise_keys = jax.vmap(lambda c: jax.random.fold_in(c, 2))(chunk_keys)
+        gauss = sample_normal(noise_keys, (T,))
+        if knobs.noise_sampling:
+            std_ext = jnp.maximum(noise_ext[..., 0], knobs.min_noise)
+            std = std_ext * knobs.noise_std * knobs.scaling_max_value
+        else:
+            std = knobs.noise_std
+        pred = jnp.where(non_zero, pred + gauss * std, pred)
+    pred = jnp.maximum(pred, 0.0)
+
+    # Digitisation (signal_io.py:134-138): round(sig * dig / range - offset),
+    # round-half-to-even, int16. Uses the profile *mean* offset, matching the
+    # reference (the per-read sampled offset only lands in file metadata).
+    signal_raw = jnp.round(
+        pred * knobs.digitisation / knobs.signal_range - knobs.offset_mean
+    ).astype(jnp.int16)
+
+    keep = pred != 0.0
+    # Padding chunks (chunk_idx < 0) contribute nothing.
+    keep = keep & (chunk_idx[:, None] >= 0)
+    return signal_raw, keep
+
+
+def make_predict_fn(config: dict, knobs: PredictKnobs):
+    """Build the jitted predict function for a fixed config + knob set."""
+    step = functools.partial(predict_step, config=dict(config), knobs=knobs)
+    return jax.jit(step)

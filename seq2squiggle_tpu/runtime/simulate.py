@@ -1,0 +1,228 @@
+"""Inference orchestration: the `predict` pipeline.
+
+Equivalent of the reference inference_run (src/seq2squiggle/inference.py:
+270-427), restructured around the TPU inner loop: resolve chemistry profile
+and knobs, load weights, stream reads -> chunk batches -> jitted device step
+-> streaming BLOW5/SLOW5 (or buffered POD5) export. Host work for batch N
+overlaps device compute for batch N+1 via JAX async dispatch.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import check_model_config
+from ..models.fft_model import count_params, init_params
+from ..models.torch_import import load_checkpoint
+from ..io.reads import get_reads
+from ..io.writers import BLOW5Writer, POD5Writer
+from ..profiles import get_profile, update_config_for_profile, update_profile
+from .batcher import iter_batches
+from .exporter import StreamingExporter
+from .predict import PredictKnobs, make_predict_fn
+
+logger = logging.getLogger("seq2squiggle_tpu")
+
+
+def get_writer(out, profile_dict, ideal_mode, export_every_n_samples,
+               profile_name, preserve_read_ids, rng):
+    """Choose the writer by extension (reference: inference.py:30-82)."""
+    out = str(out)
+    out_dir = os.path.dirname(out)
+    if out_dir and not os.path.exists(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(out):
+        logger.warning(f"Output file {out} already exists. File will be deleted.")
+        os.remove(out)
+
+    if out.endswith((".blow5", ".slow5")):
+        writer = BLOW5Writer(
+            out, profile_dict, ideal_mode, profile_name, preserve_read_ids, rng
+        )
+        return writer, export_every_n_samples
+    if out.endswith(".pod5"):
+        logger.warning(
+            "POD5 output buffers all reads in memory before a single write; "
+            "consider BLOW5/SLOW5 for large simulations."
+        )
+        writer = POD5Writer(
+            out, profile_dict, ideal_mode, profile_name, preserve_read_ids, rng
+        )
+        return writer, float("inf")
+    raise ValueError("Output file must have .pod5, .slow5, or .blow5 extension.")
+
+
+def resolve_weights(saved_weights: Optional[str], config: dict, seed: int):
+    """Load checkpoint params, or initialise fresh ones for --model random.
+
+    The reference auto-downloads weights from GitHub releases
+    (inference.py:85-221); in an offline environment we look in the local
+    cache directory instead and otherwise require an explicit --model.
+    """
+    if saved_weights is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "seq2squiggle_tpu"
+        )
+        if os.path.isdir(cache_dir):
+            candidates = sorted(
+                f for f in os.listdir(cache_dir) if f.endswith((".ckpt", ".npz"))
+            )
+            if candidates:
+                path = os.path.join(cache_dir, candidates[-1])
+                logger.info(f"Using cached weights: {path}")
+                return load_checkpoint(path)
+        raise FileNotFoundError(
+            "No model weights provided and none found in "
+            f"{cache_dir}. Pass --model PATH (.ckpt from the reference or "
+            ".npz native), or --model random for an untrained model."
+        )
+    if str(saved_weights) == "random":
+        logger.warning("Using randomly initialised weights (--model random).")
+        params = init_params(config, jax.random.key(seed))
+        return params, dict(config)
+    return load_checkpoint(str(saved_weights))
+
+
+def simulate_run(
+    *,
+    config: dict,
+    saved_weights: Optional[str],
+    fasta: str,
+    read_input: bool,
+    n: int,
+    r: int,
+    c: int,
+    out: str,
+    profile: str,
+    dwell_mean: Optional[float],
+    dwell_std: float,
+    noise_std: float,
+    noise_sampling: bool,
+    duration_sampling: bool,
+    distr: str,
+    predict_batch_size: int,
+    export_every_n_samples: int,
+    sample_rate: Optional[int] = None,
+    bps: Optional[int] = None,
+    digitisation: Optional[int] = None,
+    range_val: Optional[float] = None,
+    offset_mean: Optional[float] = None,
+    offset_std: Optional[float] = None,
+    median_before_mean: Optional[float] = None,
+    median_before_std: Optional[float] = None,
+    min_noise: float = 0.0,
+    min_duration: int = 3,
+    min_read_len: int = 30,
+    preserve_read_ids: bool = False,
+    seed: int = 42,
+    show_progress: bool = True,
+) -> dict:
+    """Run the simulation; returns a stats dict (reads, samples, seconds)."""
+    profile_dict = get_profile(profile)
+    profile_dict = update_profile(
+        profile_dict,
+        sample_rate=sample_rate,
+        bps=bps,
+        digitisation=digitisation,
+        range=range_val,
+        offset_mean=offset_mean,
+        offset_std=offset_std,
+        median_before_mean=median_before_mean,
+        median_before_std=median_before_std,
+    )
+    if dwell_mean is None:
+        dwell_mean = profile_dict["sample_rate"] / profile_dict["bps"]
+    config = update_config_for_profile(profile, config)
+    ideal_mode = not (duration_sampling or dwell_std > 0)
+
+    writer_rng = np.random.default_rng(seed)
+    writer, export_every_n_samples = get_writer(
+        out, profile_dict, ideal_mode, export_every_n_samples, profile,
+        preserve_read_ids, writer_rng,
+    )
+
+    params, ckpt_config = resolve_weights(saved_weights, config, seed)
+    check_model_config(ckpt_config, config)
+    logger.info(f"Model parameters: {count_params(params):,}")
+
+    knobs = PredictKnobs(
+        dwell_mean=float(dwell_mean),
+        dwell_std=float(dwell_std),
+        noise_std=float(noise_std),
+        noise_sampling=bool(noise_sampling),
+        duration_sampling=bool(duration_sampling),
+        min_noise=float(min_noise),
+        min_duration=int(min_duration),
+        scaling_max_value=float(config["scaling_max_value"]),
+        digitisation=float(profile_dict["digitisation"]),
+        signal_range=float(profile_dict["range"]),
+        offset_mean=float(profile_dict["offset_mean"]),
+    )
+    predict_fn = make_predict_fn(config, knobs)
+    base_key = jax.random.key(seed)
+
+    reads, total_chunks = get_reads(
+        fasta, read_input, n, r, c, config, distr, seed, profile, min_read_len
+    )
+
+    device = jax.devices()[0]
+    params = jax.device_put(params, device)
+
+    exporter = StreamingExporter(writer, export_every_n_samples)
+
+    progress = None
+    if show_progress:
+        try:
+            from tqdm import tqdm
+
+            progress = tqdm(total=total_chunks, unit="chunk", smoothing=0.05)
+        except ImportError:  # pragma: no cover
+            progress = None
+
+    t0 = time.perf_counter()
+    pending = None  # (device_outputs, segments) awaiting host processing
+
+    def drain(entry):
+        (signal_dev, keep_dev), segments = entry
+        signal_np = np.asarray(signal_dev)
+        keep_np = np.asarray(keep_dev)
+        exporter.add_batch(signal_np, keep_np, segments)
+        if progress is not None:
+            progress.update(sum(s.n_rows for s in segments))
+
+    for batch in iter_batches(
+        reads, predict_batch_size, config["seq_kmer"], config["max_dna_len"]
+    ):
+        codes_dev = jax.device_put(batch.codes, device)
+        idx_dev = jax.device_put(batch.chunk_idx, device)
+        outs = predict_fn(params, codes_dev, idx_dev, base_key)
+        # Process the previous batch on the host while the device runs this one.
+        if pending is not None:
+            drain(pending)
+        pending = (outs, batch.segments)
+    if pending is not None:
+        drain(pending)
+
+    exporter.finalize()
+    elapsed = time.perf_counter() - t0
+    if progress is not None:
+        progress.close()
+
+    stats = {
+        "reads": exporter.total_reads,
+        "chunks": exporter.total_chunks,
+        "samples": exporter.total_samples,
+        "seconds": elapsed,
+        "ksamples_per_s": exporter.total_samples / elapsed / 1e3 if elapsed else 0.0,
+    }
+    logger.info(
+        f"Simulated {stats['reads']} reads / {stats['samples']:,} samples in "
+        f"{elapsed:.2f}s ({stats['ksamples_per_s']:.1f} kSamples/s)"
+    )
+    return stats
