@@ -1,16 +1,24 @@
-"""Test configuration: force CPU with 8 virtual devices for sharding tests,
-and enable the persistent compilation cache (XLA-CPU compiles of
-threefry-heavy programs are expensive on small hosts)."""
+"""Test configuration: force the REAL CPU backend with 8 virtual devices.
+
+Note: this environment's sitecustomize registers an 'axon' TPU platform and
+overrides JAX_PLATFORMS, so the env var alone is not enough — the config
+update below must run before any backend is initialised. Tests on the axon
+backend would hit a remote compile service (minutes per program) and TPU
+default matmul precision.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-from seq2squiggle_tpu.utils import enable_compile_cache  # noqa: E402
+import jax  # noqa: E402
 
-enable_compile_cache()
+jax.config.update("jax_platforms", "cpu")
+
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}"
+)

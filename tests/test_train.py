@@ -1,0 +1,139 @@
+"""Training loop: loss math, one-step sanity, full tiny train_run, resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.stats as st
+
+from seq2squiggle_tpu.config import load_config
+from seq2squiggle_tpu.train.losses import gamma_log_prob, total_loss
+
+
+def tiny_config():
+    cfg = load_config(None)
+    cfg.update(
+        dict(
+            compute_dtype="float32",
+            train_batch_size=8,
+            max_epochs=2,
+            max_chunks_valid=100,
+            warmup_ratio=0.1,
+        )
+    )
+    return cfg
+
+
+def test_gamma_log_prob_matches_scipy():
+    conc = jnp.asarray([0.5, 2.0, 7.0])
+    rate = jnp.asarray([1.0, 0.5, 3.0])
+    x = jnp.asarray([1.0, 4.0, 2.0])
+    ours = np.asarray(gamma_log_prob(conc, rate, x))
+    ref = st.gamma.logpdf(np.asarray(x), np.asarray(conc),
+                          scale=1.0 / np.asarray(rate))
+    # float32 gammaln on this backend is good to ~5e-4 relative
+    np.testing.assert_allclose(ours, ref, rtol=2e-3)
+
+
+def test_total_loss_masking():
+    B, T, K = 4, 250, 16
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.random((B, T, 1)), jnp.float32)
+    targ = jnp.asarray(rng.random((B, T, 1)), jnp.float32)
+    conc = jnp.ones((B, K)) * 2
+    rate = jnp.ones((B, K))
+    ls = jnp.asarray(rng.integers(1, 20, (B, K)), jnp.int32)
+    noise_p = jnp.asarray(rng.random((B, K)), jnp.float32)
+    noise_t = jnp.asarray(rng.random((B, K)), jnp.float32)
+
+    full_mask = jnp.ones(B)
+    loss_full, _ = total_loss(pred, targ, conc, rate, ls, noise_p, noise_t,
+                              full_mask)
+    # Mask last two rows == loss over first two rows only
+    half_mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    loss_half, _ = total_loss(pred, targ, conc, rate, ls, noise_p, noise_t,
+                              half_mask)
+    loss_first2, _ = total_loss(pred[:2], targ[:2], conc[:2], rate[:2],
+                                ls[:2], noise_p[:2], noise_t[:2],
+                                jnp.ones(2))
+    np.testing.assert_allclose(float(loss_half), float(loss_first2), rtol=1e-6)
+    assert not np.isclose(float(loss_full), float(loss_half))
+
+
+def _make_training_dir(tmp_path, cfg, n_files=3, chunks_per_file=24):
+    from test_preprocess import make_events
+    from seq2squiggle_tpu.train.preprocess import build_chunkset, save_chunkset
+
+    outdir = tmp_path / "train_npy"
+    for i in range(n_files):
+        df = make_events(chunks_per_file * 16, seed=i, read_name=f"r{i}")
+        data = build_chunkset(df, cfg, rna=False, partition_by=False)
+        save_chunkset(data, str(outdir), i)
+    return str(outdir)
+
+
+def test_train_step_decreases_loss(tmp_path):
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg)
+
+    from seq2squiggle_tpu.models.fft_model import init_params
+    from seq2squiggle_tpu.train.data import ChunkDataset, epoch_batches, load_file_groups
+    from seq2squiggle_tpu.train.loop import make_train_step
+    from seq2squiggle_tpu.train.optimizers import build_optimizer
+
+    files, _ = load_file_groups(train_dir, None, 0.67, 42)
+    ds = ChunkDataset(files, 0, cfg)
+    params = init_params(cfg, jax.random.key(0))
+    opt = build_optimizer(dict(cfg, lr=0.005, lr_schedule="constant"), 100)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(cfg, opt)
+
+    rng = np.random.default_rng(0)
+    batch, mask = next(epoch_batches(ds, 8, rng, shuffle=False))
+    losses = []
+    for i in range(30):
+        params, opt_state, metrics = step_fn(
+            params, opt_state, batch, jnp.asarray(mask),
+            jax.random.fold_in(jax.random.key(1), i),
+        )
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+
+
+def test_train_run_end_to_end(tmp_path):
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg)
+    from seq2squiggle_tpu.train.loop import train_run
+
+    model_path = tmp_path / "ckpt" / "model.npz"
+    metrics = train_run(
+        train_dir=train_dir, valid_dir=None, config=cfg,
+        model_path=str(model_path), save_valid_plots=False, seed=1,
+        max_steps_per_epoch=3,
+    )
+    assert "valid_total_loss" in metrics
+    assert (tmp_path / "ckpt" / "model.npz").exists()
+    assert (tmp_path / "ckpt" / "model-epoch1.npz").exists()
+    assert (tmp_path / "ckpt" / "metrics.jsonl").exists()
+    assert (tmp_path / "ckpt" / "train_state.pkl").exists()
+
+    # trained checkpoint loads back into the predict path
+    from seq2squiggle_tpu.models.torch_import import load_native_checkpoint
+
+    params, ckpt_cfg = load_native_checkpoint(str(model_path))
+    assert ckpt_cfg["seq_kmer"] == cfg["seq_kmer"]
+
+
+def test_train_state_resume(tmp_path):
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg)
+    from seq2squiggle_tpu.train.loop import load_train_state, train_run
+
+    model_path = tmp_path / "ckpt" / "model.npz"
+    train_run(train_dir=train_dir, valid_dir=None, config=cfg,
+              model_path=str(model_path), save_valid_plots=False, seed=1,
+              max_steps_per_epoch=2)
+    state = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
+    assert state["epoch"] == cfg["max_epochs"] - 1
+    assert "params" in state and "opt_state" in state
