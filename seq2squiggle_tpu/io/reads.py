@@ -88,6 +88,28 @@ def draw_expon_dis(mean, seed, total_len):
 _DISTR_FUNCS = {"beta": draw_beta_dis, "gamma": draw_gamma_dis, "expon": draw_expon_dis}
 
 
+def draw_lengths_batch(distr: str, mean: int, total_len: int, size: int,
+                       random_state) -> np.ndarray:
+    """Vectorised batch version of the draw_* functions above: one scipy rvs
+    call for `size` reads instead of one RandomState per read (the per-read
+    path costs ~0.5 ms/read, a real bottleneck at 10k+ reads)."""
+    if distr == "gamma":
+        s = st.gamma.rvs(6.3693711, 0.53834893, size=size,
+                         random_state=random_state)
+        lengths = (s * mean / 4.39).astype(np.int64)
+    elif distr == "beta":
+        s = st.beta.rvs(1.778, 7.892, 316.758, 34191.257, size=size,
+                        random_state=random_state)
+        lengths = (s * mean / 6615.0).astype(np.int64)
+    elif distr == "expon":
+        s = st.expon.rvs(loc=213.98910256668592, scale=6972.5319847131141,
+                         size=size, random_state=random_state)
+        lengths = (s * mean / 7106.0).astype(np.int64)
+    else:
+        raise KeyError(distr)
+    return np.clip(lengths, 1, total_len)
+
+
 def read_check(read: str, read_length: int, read_i: int, profile: str,
                min_read_len: int = 30) -> bool:
     """QC for a sampled read (reference: utils.py:381-398)."""
@@ -158,32 +180,59 @@ def sample_reads_from_reference(
             "reference sequence will be skipped; consider reducing -r."
         )
 
-    draw = _DISTR_FUNCS[distr]
-    sampled_reads: List[str] = []
     total_genome_len = sum(genome_lens)
-    for read_i in range(seq_num):
-        for retries in range(max_retries):
-            start_pos = random.randint(0, total_genome_len - 1)
-            genome_index, start_index = _get_genome_and_position(
-                genome_lens, start_pos
+    cum_lens = np.cumsum(np.asarray(genome_lens, np.int64))
+    is_dna = profile.startswith("dna")
+
+    # Vectorised sampling with per-round retries: draw positions, lengths,
+    # and strands for all outstanding reads in one shot, QC, re-draw the
+    # failures (same distributions and QC as the reference's per-read loop,
+    # utils.py:415-479, in O(rounds) numpy passes instead of O(reads)).
+    out: dict = {}
+    remaining = np.arange(seq_num)
+    for attempt in range(max_retries):
+        m = len(remaining)
+        if m == 0:
+            break
+        round_rng = np.random.RandomState(
+            np.random.SeedSequence([seed & 0x7FFFFFFF, attempt]).generate_state(1)[0]
+        )
+        start_pos = round_rng.randint(0, total_genome_len, size=m)
+        genome_idx = np.searchsorted(cum_lens, start_pos, side="right")
+        start_in_genome = start_pos - np.where(
+            genome_idx > 0, cum_lens[genome_idx - 1], 0
+        )
+        if r > 0:
+            lengths = draw_lengths_batch(distr, r, total_len, m, round_rng)
+        else:
+            lengths = np.asarray(
+                [len(genome_seqs[g]) for g in genome_idx], np.int64
             )
-            genome = genome_seqs[genome_index]
-            unique_seed = seed + read_i * (max_retries + 1) + retries
-            read_length = draw(r, unique_seed, total_len) if r > 0 else len(genome)
-            read = genome[start_index : start_index + read_length]
-            read_strand = random.choice("+-") if profile.startswith("dna") else "+"
-            if read_check(read, read_length, read_i, profile, min_read_len):
+        strands = (
+            round_rng.choice(np.array(["+", "-"]), size=m) if is_dna
+            else np.full(m, "+")
+        )
+        failures = []
+        for j, read_i in enumerate(remaining):
+            genome = genome_seqs[genome_idx[j]]
+            a = int(start_in_genome[j])
+            read = genome[a : a + int(lengths[j])]
+            if read_check(read, int(lengths[j]), int(read_i), profile,
+                          min_read_len):
                 if "N" in read:
                     read = n_to_random_bases(read)
-                if read_strand == "-":
+                if strands[j] == "-":
                     read = reverse_complement(read)
-                sampled_reads.append(read)
-                break
-        else:
-            logger.debug(
-                f"Failed to sample a valid read after {max_retries} retries for "
-                f"read {read_i}. Skipping this read."
-            )
+                out[int(read_i)] = read
+            else:
+                failures.append(read_i)
+        remaining = np.asarray(failures, np.int64)
+    for read_i in remaining:
+        logger.debug(
+            f"Failed to sample a valid read after {max_retries} retries for "
+            f"read {read_i}. Skipping this read."
+        )
+    sampled_reads: List[str] = [out[i] for i in sorted(out)]
 
     total_chunks = sum(
         round(len(read) / config["max_dna_len"]) for read in sampled_reads

@@ -6,10 +6,10 @@ recent dict key may be incomplete, the batcher's Segment records say exactly
 when a read has produced its last chunk, so flushes always export complete
 reads and never hold back more than the reads still in flight.
 
-Samples arrive from the device already digitised (int16) alongside a
-keep-mask (final current != 0 — identical to the reference's
-`tensor[tensor.nonzero()]` stripping). Compaction is one boolean index per
-batch; per-read slices come from the cumulative counts.
+Samples arrive from the device already digitised (int16) and front-packed
+per row (zeros stripped on device — equivalent to the reference's
+`tensor[tensor.nonzero()]`), with per-row counts; per-read slices come from
+the cumulative counts.
 """
 
 from __future__ import annotations
@@ -45,14 +45,15 @@ class StreamingExporter:
 
     def add_batch(
         self,
-        signal_raw: np.ndarray,  # (B, T) int16
-        keep: np.ndarray,  # (B, T) bool
+        signal_compact: np.ndarray,  # (B, T) int16, kept samples front-packed
+        counts: np.ndarray,  # (B,) per-row kept-sample counts
         segments: List[Segment],
     ):
-        counts = keep.sum(axis=1)
+        T = signal_compact.shape[1]
+        counts = counts.astype(np.int64)
         offsets = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-        flat = signal_raw[keep]
+        flat = signal_compact[np.arange(T)[None, :] < counts[:, None]]
         for seg in segments:
             a = offsets[seg.start_row]
             b = offsets[seg.start_row + seg.n_rows]

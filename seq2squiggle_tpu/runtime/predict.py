@@ -91,11 +91,16 @@ def predict_step(
     config: dict,
     knobs: PredictKnobs,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (signal_raw (B, T) int16, keep_mask (B, T) bool).
+    """Returns (signal_compact (B, T) int16, counts (B,) int32).
 
-    keep_mask marks samples to export: the final (noise-added, clamped)
-    current is non-zero — identical to the reference's export-side
-    `tensor[tensor.nonzero()]` stripping (model.py:286).
+    Samples to export are those whose final (noise-added, clamped) current
+    is non-zero — identical to the reference's export-side
+    `tensor[tensor.nonzero()]` stripping (model.py:286). The kept samples
+    are stably compacted to the FRONT of each row on device (order
+    preserved), so the host only slices `row[:count]` — this halves
+    device->host bytes vs shipping a boolean mask and removes host-side
+    boolean indexing (the D2H link is the measured bottleneck on a
+    tunneled chip).
     """
     compute_dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
     B, K, k = codes.shape
@@ -147,7 +152,14 @@ def predict_step(
     keep = pred != 0.0
     # Padding chunks (chunk_idx < 0) contribute nothing.
     keep = keep & (chunk_idx[:, None] >= 0)
-    return signal_raw, keep
+
+    # Stable partition: kept samples first, original order preserved.
+    drop_key = (~keep).astype(jnp.int8)
+    _, signal_compact = jax.lax.sort(
+        (drop_key, signal_raw), dimension=-1, is_stable=True, num_keys=1
+    )
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return signal_compact, counts
 
 
 def make_predict_fn(config: dict, knobs: PredictKnobs):

@@ -58,30 +58,19 @@ def get_writer(out, profile_dict, ideal_mode, export_every_n_samples,
     raise ValueError("Output file must have .pod5, .slow5, or .blow5 extension.")
 
 
-def resolve_weights(saved_weights: Optional[str], config: dict, seed: int):
+def resolve_weights(saved_weights: Optional[str], config: dict, seed: int,
+                    profile_name: str = "dna-r10-prom"):
     """Load checkpoint params, or initialise fresh ones for --model random.
 
-    The reference auto-downloads weights from GitHub releases
-    (inference.py:85-221); in an offline environment we look in the local
-    cache directory instead and otherwise require an explicit --model.
+    With no --model, resolve pretrained weights like the reference
+    (inference.py:85-221): local cache first, then the upstream GitHub
+    releases (profile-keyword matched).
     """
     if saved_weights is None:
-        cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "seq2squiggle_tpu"
-        )
-        if os.path.isdir(cache_dir):
-            candidates = sorted(
-                f for f in os.listdir(cache_dir) if f.endswith((".ckpt", ".npz"))
-            )
-            if candidates:
-                path = os.path.join(cache_dir, candidates[-1])
-                logger.info(f"Using cached weights: {path}")
-                return load_checkpoint(path)
-        raise FileNotFoundError(
-            "No model weights provided and none found in "
-            f"{cache_dir}. Pass --model PATH (.ckpt from the reference or "
-            ".npz native), or --model random for an untrained model."
-        )
+        from ..io.weights import resolve_pretrained
+
+        logger.info("Weights file path is not provided.")
+        return load_checkpoint(resolve_pretrained(profile_name))
     if str(saved_weights) == "random":
         logger.warning("Using randomly initialised weights (--model random).")
         params = init_params(config, jax.random.key(seed))
@@ -147,7 +136,7 @@ def simulate_run(
         preserve_read_ids, writer_rng,
     )
 
-    params, ckpt_config = resolve_weights(saved_weights, config, seed)
+    params, ckpt_config = resolve_weights(saved_weights, config, seed, profile)
     check_model_config(ckpt_config, config)
     logger.info(f"Model parameters: {count_params(params):,}")
 
@@ -189,10 +178,10 @@ def simulate_run(
     pending = None  # (device_outputs, segments) awaiting host processing
 
     def drain(entry):
-        (signal_dev, keep_dev), segments = entry
+        (signal_dev, counts_dev), segments = entry
         signal_np = np.asarray(signal_dev)
-        keep_np = np.asarray(keep_dev)
-        exporter.add_batch(signal_np, keep_np, segments)
+        counts_np = np.asarray(counts_dev)
+        exporter.add_batch(signal_np, counts_np, segments)
         if progress is not None:
             progress.update(sum(s.n_rows for s in segments))
 
@@ -202,6 +191,10 @@ def simulate_run(
         codes_dev = jax.device_put(batch.codes, device)
         idx_dev = jax.device_put(batch.chunk_idx, device)
         outs = predict_fn(params, codes_dev, idx_dev, base_key)
+        # Start the device->host copies now so they overlap the NEXT batch's
+        # compute (D2H over the interconnect is the measured bottleneck).
+        for o in outs:
+            o.copy_to_host_async()
         # Process the previous batch on the host while the device runs this one.
         if pending is not None:
             drain(pending)

@@ -58,17 +58,19 @@ def test_dp_predict_matches_single_device():
     idx = np.arange(B, dtype=np.int32)
     key = jax.random.key(1)
 
-    sig_single, keep_single = fn(params, codes, idx, key)
+    sig_single, counts_single = fn(params, codes, idx, key)
 
     mesh = make_mesh()  # 8-way dp
     bsh = batch_sharding(mesh)
     codes_sh = jax.device_put(codes, bsh)
     idx_sh = jax.device_put(idx, bsh)
     params_sh = shard_params(params, mesh)
-    sig_dp, keep_dp = fn(params_sh, codes_sh, idx_sh, key)
+    sig_dp, counts_dp = fn(params_sh, codes_sh, idx_sh, key)
 
     np.testing.assert_array_equal(np.asarray(sig_single), np.asarray(sig_dp))
-    np.testing.assert_array_equal(np.asarray(keep_single), np.asarray(keep_dp))
+    np.testing.assert_array_equal(
+        np.asarray(counts_single), np.asarray(counts_dp)
+    )
     # the output really was computed sharded
     assert len(sig_dp.sharding.device_set) == 8
 

@@ -1,0 +1,91 @@
+"""standardize-events tool and offline sweep."""
+
+import numpy as np
+import pandas as pd
+
+from seq2squiggle_tpu.tools.standardize_events import (
+    parse_sigtk_file,
+    standardize_and_write_chunks,
+)
+
+
+def _events(tmp_path, n=30):
+    rng = np.random.default_rng(0)
+    rows = []
+    pos = 0
+    for i in range(n):
+        c = int(rng.integers(2, 100))  # some events exceed filter_length=70
+        samples = rng.normal(0, 1, c).round(4)
+        rows.append(dict(
+            read_name="r", position=i, model_kmer="ACGTACGTA",
+            start_idx=pos, end_idx=pos + c, event_stdv=1.0,
+            samples=",".join(map(str, samples)),
+        ))
+        pos += c
+    df = pd.DataFrame(rows)
+    path = tmp_path / "events.tsv"
+    df.to_csv(path, sep="\t", index=False)
+    return df, path
+
+
+def test_parse_sigtk(tmp_path):
+    f = tmp_path / "sigtk.txt"
+    f.write_text("read1 x 91.25 y z 12.5 rest\n")
+    assert parse_sigtk_file(str(f)) == (91.25, 12.5)
+    assert parse_sigtk_file(str(tmp_path / "missing")) == (0.0, 0.0)
+
+
+def test_standardize_denormalizes_and_filters(tmp_path):
+    df, path = _events(tmp_path)
+    out = tmp_path / "out.tsv"
+    standardize_and_write_chunks(str(path), str(out), chunk_size=7,
+                                 pa_mean=90.0, pa_std=10.0, filter_length=70)
+    res = pd.read_csv(out, sep="\t")
+    lengths = df["end_idx"] - df["start_idx"]
+    assert len(res) == int((lengths <= 70).sum())
+    # first kept row: samples denormalized, stdv = ddof-1 stdev of samples
+    first_kept = df[lengths <= 70].iloc[0]
+    orig = np.array([float(x) for x in first_kept["samples"].split(",")])
+    got = np.array([float(x) for x in res.iloc[0]["samples"].split(",")])
+    np.testing.assert_allclose(got, orig * 10.0 + 90.0, rtol=1e-9)
+    np.testing.assert_allclose(res.iloc[0]["event_stdv"],
+                               np.std(orig * 10.0 + 90.0, ddof=1), rtol=1e-9)
+
+
+def test_standardize_passthrough_without_stats(tmp_path):
+    df, path = _events(tmp_path)
+    out = tmp_path / "out.tsv"
+    standardize_and_write_chunks(str(path), str(out), chunk_size=100,
+                                 pa_mean=0.0, pa_std=0.0, filter_length=70)
+    res = pd.read_csv(out, sep="\t")
+    lengths = df["end_idx"] - df["start_idx"]
+    kept = df[lengths <= 70].reset_index(drop=True)
+    assert res["samples"].tolist() == kept["samples"].tolist()
+
+
+def test_offline_sweep(tmp_path):
+    import yaml
+
+    from test_preprocess import make_events
+    from seq2squiggle_tpu.config import load_config
+    from seq2squiggle_tpu.train.preprocess import build_chunkset, save_chunkset
+    from seq2squiggle_tpu.train.sweep import sweep_run
+
+    cfg = load_config(None)
+    cfg.update(dict(compute_dtype="float32", train_batch_size=8, max_epochs=1,
+                    max_chunks_valid=20))
+    outdir = tmp_path / "npy"
+    for i in range(2):
+        data = build_chunkset(make_events(16 * 6, seed=i), cfg, False, False)
+        save_chunkset(data, str(outdir), i)
+
+    space = {
+        "train_dir": str(outdir),
+        "parameters": {"lr": {"values": [1e-3, 5e-4]},
+                       "dff": {"value": 256}},
+    }
+    sweep_file = tmp_path / "sweep.yaml"
+    sweep_file.write_text(yaml.safe_dump(space))
+    sweep_run(str(sweep_file), count=2, config=cfg, seed=0)
+    results = (tmp_path / "sweep_results.jsonl").read_text().strip().splitlines()
+    assert len(results) == 2
