@@ -56,6 +56,7 @@ DEFAULT_CONFIG: dict = {
     "gradient_clip_val": 1.0,
     # TPU-build extensions (not present in the reference; safe extra keys)
     "compute_dtype": "bfloat16",  # bfloat16 | float32 — inner-loop matmul dtype
+    "use_pallas": "auto",  # auto | true | false — fused TPU attention blocks
     "random_seed": 42,  # used for file-level train/valid splits
 }
 
@@ -107,6 +108,7 @@ def check_model_config(model_config: dict, config: dict) -> None:
         "save_model",
         # TPU-build-only keys that never affect weight shapes:
         "compute_dtype",
+        "use_pallas",
         "random_seed",
     }
     for param, value in config.items():

@@ -1,0 +1,84 @@
+"""Lazy ctypes build/load of the native codec library.
+
+The .so is compiled on first use with the system g++ (no pybind11/cffi
+needed — the API is plain C buffers) and cached next to the user cache.
+Absence of a toolchain degrades gracefully: callers fall back to the
+vectorised numpy codec in io/slow5.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+logger = logging.getLogger("seq2squiggle_tpu")
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "slow5_codec.cc")
+
+
+def _cache_path() -> str:
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    d = os.path.join(os.path.expanduser("~"), ".cache", "seq2squiggle_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"libslow5codec-{digest}.so")
+
+
+def _compile(out_path: str) -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", out_path, "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as exc:
+        logger.debug(f"native codec build failed ({exc}); using numpy codec")
+        return False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Return the native codec library, compiling on first use; None if
+    unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        path = _cache_path()
+        if not os.path.exists(path):
+            if not _compile(path):
+                return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as exc:
+            logger.debug(f"native codec load failed: {exc}")
+            return None
+        size_t = ctypes.c_size_t
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.svb_zd_max_size.restype = size_t
+        lib.svb_zd_max_size.argtypes = [size_t]
+        lib.svb_zd_encode.restype = size_t
+        lib.svb_zd_encode.argtypes = [i16p, size_t, u8p]
+        lib.svb_zd_decode.restype = size_t
+        lib.svb_zd_decode.argtypes = [u8p, size_t, size_t, i16p]
+        lib.zlib_compress_buf.restype = size_t
+        lib.zlib_compress_buf.argtypes = [u8p, size_t, u8p, size_t,
+                                          ctypes.c_int]
+        lib.zlib_compress_bound.restype = size_t
+        lib.zlib_compress_bound.argtypes = [size_t]
+        lib.zlib_decompress_buf.restype = size_t
+        lib.zlib_decompress_buf.argtypes = [u8p, size_t, u8p, size_t]
+        _LIB = lib
+        logger.debug(f"native codec loaded: {path}")
+        return _LIB

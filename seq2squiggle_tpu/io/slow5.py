@@ -109,6 +109,49 @@ def zigzag_delta_decode(zz: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas, dtype=np.int64).astype(np.int16)
 
 
+def _native():
+    from .native.build import load_native
+
+    return load_native()
+
+
+def svb_zd_encode_signal(signal: np.ndarray) -> bytes:
+    """int16 signal -> svb-zd bytes, via the native C++ codec when available
+    (single pass), else the vectorised numpy path."""
+    sig = np.ascontiguousarray(signal, "<i2")
+    lib = _native()
+    if lib is not None and len(sig):
+        import ctypes
+
+        cap = lib.svb_zd_max_size(len(sig))
+        out = np.empty(cap, np.uint8)
+        n = lib.svb_zd_encode(
+            sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            len(sig),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:n].tobytes()
+    return svb_encode(zigzag_delta_encode(sig))
+
+
+def svb_zd_decode_signal(data: bytes, count: int) -> np.ndarray:
+    lib = _native()
+    if lib is not None and count:
+        import ctypes
+
+        out = np.empty(count, np.int16)
+        buf = np.frombuffer(data, np.uint8)
+        n = lib.svb_zd_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf),
+            count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        )
+        if n == count:
+            return out
+    return zigzag_delta_decode(svb_decode(data, count))
+
+
 def svb_encode(values: np.ndarray) -> bytes:
     """StreamVByte-encode uint32 values: control stream + data stream."""
     n = len(values)
@@ -195,7 +238,7 @@ def _encode_record(
     sig = np.ascontiguousarray(signal, dtype="<i2")
     parts.append(struct.pack("<Q", len(sig)))
     if signal_press == SIGPRESS_SVB_ZD:
-        comp = svb_encode(zigzag_delta_encode(sig))
+        comp = svb_zd_encode_signal(sig)
         parts.append(struct.pack("<Q", len(comp)))
         parts.append(comp)
     else:
@@ -228,8 +271,7 @@ def _decode_record(buf: bytes, signal_press: int) -> dict:
     if signal_press == SIGPRESS_SVB_ZD:
         (comp_len,) = struct.unpack_from("<Q", buf, off)
         off += 8
-        zz = svb_decode(buf[off : off + comp_len], n_sig)
-        signal = zigzag_delta_decode(zz)
+        signal = svb_zd_decode_signal(buf[off : off + comp_len], n_sig)
         off += comp_len
     else:
         signal = np.frombuffer(buf, "<i2", count=n_sig, offset=off).copy()

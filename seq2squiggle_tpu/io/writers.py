@@ -162,12 +162,11 @@ class BLOW5Writer(_WriterBase):
 
 
 class POD5Writer(_WriterBase):
-    """POD5 writer via the `pod5` package when present.
+    """POD5 writer: the `pod5` wheel when present, else the built-in native
+    Arrow/flatbuffers implementation (io/pod5_native.py).
 
     The reference buffers all reads in RAM and writes once (signal_io.py:
-    175-282, warned about at inference.py:72-79); we keep that contract. The
-    pod5 wheel (Arrow/C++) is not part of this image; constructing this
-    writer without it raises with the same guidance the reference logs.
+    175-282, warned about at inference.py:72-79); we keep that contract.
     """
 
     def __init__(self, *args, **kwargs):
@@ -176,16 +175,15 @@ class POD5Writer(_WriterBase):
             import pod5  # noqa: F401
 
             self._pod5 = pod5
-        except ImportError as exc:  # pragma: no cover - env without pod5
-            raise ImportError(
-                "POD5 export requires the 'pod5' package, which is not "
-                "installed in this environment. Export to BLOW5/SLOW5 instead "
-                "(and convert with blue-crab if POD5 is required)."
-            ) from exc
+        except ImportError:
+            self._pod5 = None
+            logger.info(
+                "pod5 wheel not installed; using the built-in native POD5 "
+                "writer."
+            )
         self._pending = []
 
     def write_batch(self, signals: Dict[str, np.ndarray]):
-        pod5 = self._pod5
         for read_id, signal in signals.items():
             signal = np.asarray(signal)
             if signal.size == 0:
@@ -193,13 +191,6 @@ class POD5Writer(_WriterBase):
                 continue
             median_before_value, offset_value = self._per_read_metadata()
             raw = self._prepare_signal(signal)
-            pore = pod5.Pore(channel=123, well=3, pore_type="not_set")
-            calibration = pod5.Calibration(
-                offset=offset_value, scale=self.signal_range / self.digitisation
-            )
-            end_reason = pod5.EndReason(
-                reason=pod5.EndReasonEnum.SIGNAL_POSITIVE, forced=False
-            )
             if self.preserve_read_ids:
                 rid = uuid.uuid5(uuid.NAMESPACE_DNS, str(read_id))
             else:
@@ -207,23 +198,17 @@ class POD5Writer(_WriterBase):
             self._pending.append(
                 dict(
                     read_id=rid,
-                    pore=pore,
-                    calibration=calibration,
+                    offset=offset_value,
                     read_number=self.read_counter,
-                    start_sample=0,
                     median_before=median_before_value,
-                    end_reason=end_reason,
                     signal=raw,
                 )
             )
             self.read_counter += 1
 
-    def close(self):
-        if not self._pending:
-            return
-        pod5 = self._pod5
+    def _run_info_fields(self):
         seq_kit, flow_cell = get_seq_kit_and_flow_cell(self.profile_name)
-        run_info = pod5.RunInfo(
+        return dict(
             acquisition_id="",
             acquisition_start_time=datetime.now(),
             adc_max=4095,
@@ -245,7 +230,48 @@ class POD5Writer(_WriterBase):
             system_type="",
             tracking_id={},
         )
-        with pod5.Writer(self.filename) as writer:
+
+    def close(self):
+        if not self._pending:
+            return
+        scale = self.signal_range / self.digitisation
+        if self._pod5 is not None:
+            pod5 = self._pod5
+            run_info = pod5.RunInfo(**self._run_info_fields())
+            with pod5.Writer(self.filename) as writer:
+                for kw in self._pending:
+                    writer.add_read(
+                        pod5.Read(
+                            read_id=kw["read_id"],
+                            pore=pod5.Pore(channel=123, well=3,
+                                           pore_type="not_set"),
+                            calibration=pod5.Calibration(
+                                offset=kw["offset"], scale=scale
+                            ),
+                            read_number=kw["read_number"],
+                            start_sample=0,
+                            median_before=kw["median_before"],
+                            end_reason=pod5.EndReason(
+                                reason=pod5.EndReasonEnum.SIGNAL_POSITIVE,
+                                forced=False,
+                            ),
+                            run_info=run_info,
+                            signal=kw["signal"],
+                        )
+                    )
+        else:
+            from .pod5_native import Pod5NativeWriter
+
+            writer = Pod5NativeWriter(self.filename)
+            writer.set_run_info(**self._run_info_fields())
             for kw in self._pending:
-                writer.add_read(pod5.Read(run_info=run_info, **kw))
+                writer.add_read(
+                    read_id=kw["read_id"],
+                    signal=kw["signal"],
+                    calibration_offset=float(kw["offset"]),
+                    calibration_scale=float(scale),
+                    read_number=kw["read_number"],
+                    median_before=float(kw["median_before"]),
+                )
+            writer.close()
         self._pending = []

@@ -31,6 +31,21 @@ from ..ops.attention import fft_block, linear
 from ..ops.positional import sinusoid_encoding_table
 
 
+def _use_pallas_blocks(config: dict, x, mask, dropout_rng) -> bool:
+    """Fused Pallas blocks are the bfloat16 inference fast path; training
+    (dropout), masking, float32 fidelity mode, and CPU fall back to XLA."""
+    if dropout_rng is not None or mask is not None:
+        return False
+    mode = config.get("use_pallas", "auto")
+    if mode is True:
+        return True
+    if mode == "auto":
+        import jax as _jax
+
+        return x.dtype == jnp.bfloat16 and _jax.default_backend() != "cpu"
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Initialisation
 # ---------------------------------------------------------------------------
@@ -149,6 +164,12 @@ def encoder_forward(
         x = jax.nn.relu(linear(pre, x))
     emb_out = x
     h = x + enc["pos_enc"][None, : x.shape[1]].astype(x.dtype)
+    if _use_pallas_blocks(config, h, mask, dropout_rng):
+        from ..ops.pallas.fft_block import fused_fft_block
+
+        for block in enc["blocks"]:
+            h = fused_fft_block(h, block, config["encoder_heads"])
+        return h, emb_out
     rate = config["encoder_dropout"] if dropout_rng is not None else 0.0
     for i, block in enumerate(enc["blocks"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None
@@ -169,6 +190,13 @@ def decoder_forward(
     """x: (B, T, D) length-regulated frames. Returns (B, T, 1) current (>=0)."""
     dec = params["decoder"]
     h = x + dec["pos_enc"][None, : x.shape[1]].astype(x.dtype)
+    if _use_pallas_blocks(config, h, mask, dropout_rng):
+        from ..ops.pallas.fft_block import fused_fft_block
+
+        for block in dec["blocks"]:
+            h = fused_fft_block(h, block, config["decoder_heads"])
+        out = linear(dec["out_linear"], h)
+        return jax.nn.relu(out)
     rate = config["decoder_dropout"] if dropout_rng is not None else 0.0
     for i, block in enumerate(dec["blocks"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None

@@ -175,7 +175,12 @@ def simulate_run(
             progress = None
 
     t0 = time.perf_counter()
-    pending = None  # (device_outputs, segments) awaiting host processing
+    # In-flight batches awaiting host processing. Depth > 1 hides
+    # device-call round-trip latency (significant when the chip is reached
+    # over a network tunnel); kept shallow so device memory stays bounded
+    # and host work still overlaps compute.
+    pipeline_depth = 3
+    pending: list = []
 
     def drain(entry):
         (signal_dev, counts_dev), segments = entry
@@ -195,12 +200,11 @@ def simulate_run(
         # compute (D2H over the interconnect is the measured bottleneck).
         for o in outs:
             o.copy_to_host_async()
-        # Process the previous batch on the host while the device runs this one.
-        if pending is not None:
-            drain(pending)
-        pending = (outs, batch.segments)
-    if pending is not None:
-        drain(pending)
+        pending.append((outs, batch.segments))
+        if len(pending) >= pipeline_depth:
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
 
     exporter.finalize()
     elapsed = time.perf_counter() - t0
