@@ -117,6 +117,15 @@ def advanced_options(f):
         click.option("--preserve-read-ids", is_flag=True, default=False,
                      show_default=True,
                      help="Preserve input read IDs instead of indexed UUIDs."),
+        click.option("--num-shards", default=1, type=int, show_default=True,
+                     hidden=True,
+                     help="Shard reads round-robin over this many processes; "
+                     "each shard writes its own output file."),
+        click.option("--shard-index", default=0, type=int, show_default=True,
+                     hidden=True, help="This process's shard index."),
+        click.option("--trace-dir", default=None, type=str, show_default=True,
+                     hidden=True,
+                     help="Write a jax.profiler trace of the run here."),
     ]
     for opt in reversed(opts):
         f = opt(f)
@@ -155,7 +164,8 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
             dwell_mean, dwell_std, noise_std, distr, predict_batch_size,
             export_every_n_samples, sample_rate, bps, digitisation, range_val,
             offset_mean, offset_std, median_before_mean, median_before_std,
-            min_noise, min_duration, min_read_len, preserve_read_ids, seed,
+            min_noise, min_duration, min_read_len, preserve_read_ids,
+            num_shards, shard_index, trace_dir, seed,
             model, config, verbosity):
     """Generate sequencing signals from a genome or read FASTA file.
 
@@ -229,6 +239,9 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
         min_read_len=min_read_len,
         preserve_read_ids=preserve_read_ids,
         seed=resolved_seed,
+        num_shards=num_shards,
+        shard_index=shard_index,
+        trace_dir=trace_dir,
     )
     logger.info("Prediction done.")
 

@@ -118,11 +118,11 @@ def _block_kernel(
 
 
 def _tile_b(L: int) -> int:
-    # Sized against the 16 MB VMEM scoped-allocation limit including all
-    # float32 temporaries (LN statistics, FFN hidden (TB*L, 256) f32, one
-    # head's (TB, L, L) f32 scores): measured peak ~6 MB for the encoder
-    # tile and ~9 MB for the decoder tile.
-    return 64 if L <= 32 else 8
+    # Sized against the 16 MB VMEM scoped-allocation limit. Mosaic stack-
+    # allocates the unrolled per-head score/prob buffers rather than reusing
+    # one, so the decoder tile (L=250) must keep 8 heads' (TB, L, L) f32
+    # scores simultaneously: TB=4 -> 8 MB + FFN/LN temporaries.
+    return 64 if L <= 32 else 4
 
 
 @functools.partial(

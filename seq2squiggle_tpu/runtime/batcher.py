@@ -68,7 +68,8 @@ class Segment:
 @dataclasses.dataclass
 class Batch:
     codes: np.ndarray  # (B, max_dna_len, seq_kmer) uint8
-    chunk_idx: np.ndarray  # (B,) int32 global chunk index; -1 for padding rows
+    read_idx: np.ndarray  # (B,) int32 global read index; -1 for padding rows
+    chunk_off: np.ndarray  # (B,) int32 chunk offset within its read
     segments: List[Segment]
     n_valid: int
 
@@ -78,25 +79,32 @@ def iter_batches(
     batch_size: int,
     seq_kmer: int,
     max_dna_len: int,
+    read_idx_start: int = 0,
+    read_idx_step: int = 1,
 ) -> Generator[Batch, None, None]:
     """Pack a (sequence, read_id) stream into fixed-size chunk batches.
 
     Reads are split across batch boundaries when needed; per-batch Segment
     records let the exporter reassemble reads without inspecting chunk data.
-    The global chunk index drives per-chunk RNG keys, so simulated output is
-    invariant to batch size.
+    Each row carries its (global read index, chunk offset within the read),
+    which drive the per-chunk RNG keys — simulated output is therefore
+    invariant to batch size AND to how reads are sharded across processes
+    or chips (a shard only needs its reads' global indices, supplied via
+    read_idx_start/read_idx_step for round-robin sharding).
     """
     buf = np.zeros((batch_size, max_dna_len, seq_kmer), np.uint8)
-    idx = np.full(batch_size, -1, np.int32)
+    ridx = np.full(batch_size, -1, np.int32)
+    coff = np.zeros(batch_size, np.int32)
     segments: List[Segment] = []
     fill = 0
-    global_chunk = 0
+    read_counter = read_idx_start
 
     def flush():
-        nonlocal buf, idx, segments, fill
-        batch = Batch(buf.copy(), idx.copy(), segments, fill)
+        nonlocal buf, ridx, coff, segments, fill
+        batch = Batch(buf.copy(), ridx.copy(), coff.copy(), segments, fill)
         buf = np.zeros((batch_size, max_dna_len, seq_kmer), np.uint8)
-        idx = np.full(batch_size, -1, np.int32)
+        ridx = np.full(batch_size, -1, np.int32)
+        coff = np.zeros(batch_size, np.int32)
         segments = []
         fill = 0
         return batch
@@ -104,6 +112,7 @@ def iter_batches(
     for seq, read_id in reads:
         chunks = read_chunk_codes(seq, seq_kmer, max_dna_len)
         if chunks is None:
+            read_counter += read_idx_step
             continue
         pos = 0
         n = len(chunks)
@@ -111,16 +120,15 @@ def iter_batches(
             space = batch_size - fill
             take = min(space, n - pos)
             buf[fill : fill + take] = chunks[pos : pos + take]
-            idx[fill : fill + take] = np.arange(
-                global_chunk, global_chunk + take, dtype=np.int32
-            )
+            ridx[fill : fill + take] = read_counter
+            coff[fill : fill + take] = np.arange(pos, pos + take, dtype=np.int32)
             segments.append(
                 Segment(read_id, fill, take, read_done=(pos + take == n))
             )
             fill += take
             pos += take
-            global_chunk += take
             if fill == batch_size:
                 yield flush()
+        read_counter += read_idx_step
     if fill > 0:
         yield flush()

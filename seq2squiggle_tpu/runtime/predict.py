@@ -85,7 +85,8 @@ def _compute_durations(
 def predict_step(
     params: dict,
     codes: jnp.ndarray,  # (B, K, k) int8 k-mer base codes
-    chunk_idx: jnp.ndarray,  # (B,) int32 global chunk indices (RNG + masking)
+    read_idx: jnp.ndarray,  # (B,) int32 global read index (-1 = padding row)
+    chunk_off: jnp.ndarray,  # (B,) int32 chunk offset within the read
     base_key: jax.Array,
     *,
     config: dict,
@@ -119,7 +120,10 @@ def predict_step(
     emb32 = emb_out.astype(jnp.float32)
     noise_stdev = noise_head(params, emb32, config)  # (B, K)
 
-    chunk_keys = per_chunk_keys(base_key, chunk_idx)
+    # Per-chunk keys from (read index, chunk offset): output is invariant to
+    # batch size and to any read sharding across processes/chips.
+    read_keys = per_chunk_keys(base_key, read_idx)
+    chunk_keys = jax.vmap(jax.random.fold_in)(read_keys, chunk_off)
     dur_keys = jax.vmap(lambda c: jax.random.fold_in(c, 1))(chunk_keys)
     durations = _compute_durations(params, emb32, dur_keys, knobs, config)
 
@@ -150,8 +154,8 @@ def predict_step(
     ).astype(jnp.int16)
 
     keep = pred != 0.0
-    # Padding chunks (chunk_idx < 0) contribute nothing.
-    keep = keep & (chunk_idx[:, None] >= 0)
+    # Padding rows (read_idx < 0) contribute nothing.
+    keep = keep & (read_idx[:, None] >= 0)
 
     # Stable partition: kept samples first, original order preserved.
     drop_key = (~keep).astype(jnp.int8)

@@ -111,8 +111,15 @@ def simulate_run(
     preserve_read_ids: bool = False,
     seed: int = 42,
     show_progress: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    trace_dir: Optional[str] = None,
 ) -> dict:
-    """Run the simulation; returns a stats dict (reads, samples, seconds)."""
+    """Run the simulation; returns a stats dict (reads, samples, seconds).
+
+    trace_dir enables a jax.profiler trace of the whole loop (device + host
+    timelines, viewable in XProf/TensorBoard) — profiling support the
+    reference lacks entirely (SURVEY section 5)."""
     profile_dict = get_profile(profile)
     profile_dict = update_profile(
         profile_dict,
@@ -160,6 +167,25 @@ def simulate_run(
         fasta, read_input, n, r, c, config, distr, seed, profile, min_read_len
     )
 
+    # Round-robin read sharding for multi-process / multi-host operation.
+    # RNG keys derive from GLOBAL read indices, so every read's signal is
+    # identical no matter how many shards simulate the set (zero cross-shard
+    # communication; each shard writes its own output file).
+    read_idx_start, read_idx_step = 0, 1
+    if num_shards > 1:
+        if not (0 <= shard_index < num_shards):
+            raise ValueError("shard_index must be in [0, num_shards)")
+        _all = reads
+
+        def _sharded():
+            for i, item in enumerate(_all):
+                if i % num_shards == shard_index:
+                    yield item
+
+        reads = _sharded()
+        total_chunks = total_chunks // num_shards
+        read_idx_start, read_idx_step = shard_index, num_shards
+
     device = jax.devices()[0]
     params = jax.device_put(params, device)
 
@@ -173,6 +199,9 @@ def simulate_run(
             progress = tqdm(total=total_chunks, unit="chunk", smoothing=0.05)
         except ImportError:  # pragma: no cover
             progress = None
+
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
 
     t0 = time.perf_counter()
     # In-flight batches awaiting host processing. Depth > 1 hides
@@ -190,12 +219,31 @@ def simulate_run(
         if progress is not None:
             progress.update(sum(s.n_rows for s in segments))
 
+    first_batch = True
     for batch in iter_batches(
-        reads, predict_batch_size, config["seq_kmer"], config["max_dna_len"]
+        reads, predict_batch_size, config["seq_kmer"], config["max_dna_len"],
+        read_idx_start=read_idx_start, read_idx_step=read_idx_step,
     ):
         codes_dev = jax.device_put(batch.codes, device)
-        idx_dev = jax.device_put(batch.chunk_idx, device)
-        outs = predict_fn(params, codes_dev, idx_dev, base_key)
+        ridx_dev = jax.device_put(batch.read_idx, device)
+        coff_dev = jax.device_put(batch.chunk_off, device)
+        if first_batch and config.get("use_pallas", "auto") == "auto":
+            # Fused-kernel support varies by backend; fall back to the pure
+            # XLA path rather than failing the run.
+            try:
+                outs = predict_fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+                jax.block_until_ready(outs)
+            except Exception as exc:
+                logger.warning(
+                    f"Fused Pallas path unavailable on this backend "
+                    f"({type(exc).__name__}); falling back to XLA blocks."
+                )
+                config = dict(config, use_pallas=False)
+                predict_fn = make_predict_fn(config, knobs)
+                outs = predict_fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+            first_batch = False
+        else:
+            outs = predict_fn(params, codes_dev, ridx_dev, coff_dev, base_key)
         # Start the device->host copies now so they overlap the NEXT batch's
         # compute (D2H over the interconnect is the measured bottleneck).
         for o in outs:
@@ -208,6 +256,9 @@ def simulate_run(
 
     exporter.finalize()
     elapsed = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        logger.info(f"Profiler trace written to {trace_dir}")
     if progress is not None:
         progress.close()
 

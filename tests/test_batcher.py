@@ -55,12 +55,18 @@ def test_iter_batches_segments_and_padding():
     # chunk counts: r1: ceil(92/16)=6, r2: ceil(32/16)=2, r3: ceil(292/16)=19
     total_chunks = sum(b.n_valid for b in batches)
     assert total_chunks == 6 + 2 + 19
-    # global chunk indices are consecutive over valid rows
-    all_idx = np.concatenate([b.chunk_idx[: b.n_valid] for b in batches])
-    np.testing.assert_array_equal(all_idx, np.arange(total_chunks))
+    # (read index, chunk offset) pairs cover each read consecutively
+    all_ridx = np.concatenate([b.read_idx[: b.n_valid] for b in batches])
+    all_coff = np.concatenate([b.chunk_off[: b.n_valid] for b in batches])
+    np.testing.assert_array_equal(
+        all_ridx, np.concatenate([np.full(6, 0), np.full(2, 1), np.full(19, 2)])
+    )
+    np.testing.assert_array_equal(
+        all_coff, np.concatenate([np.arange(6), np.arange(2), np.arange(19)])
+    )
     # padding rows are -1
     last = batches[-1]
-    assert np.all(last.chunk_idx[last.n_valid :] == -1)
+    assert np.all(last.read_idx[last.n_valid :] == -1)
     # segments: per-read row counts sum correctly and read_done fires once
     per_read = {}
     done_count = {}

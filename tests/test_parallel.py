@@ -55,17 +55,19 @@ def test_dp_predict_matches_single_device():
     B = 64
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 5, (B, 16, 9)).astype(np.uint8)
-    idx = np.arange(B, dtype=np.int32)
+    ridx = np.arange(B, dtype=np.int32) // 3
+    coff = np.arange(B, dtype=np.int32) % 3
     key = jax.random.key(1)
 
-    sig_single, counts_single = fn(params, codes, idx, key)
+    sig_single, counts_single = fn(params, codes, ridx, coff, key)
 
     mesh = make_mesh()  # 8-way dp
     bsh = batch_sharding(mesh)
     codes_sh = jax.device_put(codes, bsh)
-    idx_sh = jax.device_put(idx, bsh)
+    ridx_sh = jax.device_put(ridx, bsh)
+    coff_sh = jax.device_put(coff, bsh)
     params_sh = shard_params(params, mesh)
-    sig_dp, counts_dp = fn(params_sh, codes_sh, idx_sh, key)
+    sig_dp, counts_dp = fn(params_sh, codes_sh, ridx_sh, coff_sh, key)
 
     np.testing.assert_array_equal(np.asarray(sig_single), np.asarray(sig_dp))
     np.testing.assert_array_equal(

@@ -1,0 +1,26 @@
+"""Multi-shard prediction must reproduce the unsharded run read-for-read."""
+
+import numpy as np
+
+from seq2squiggle_tpu.io.slow5 import read_slow5
+
+
+def test_two_shards_match_unsharded(tmp_path):
+    from test_e2e import _run
+
+    _run(tmp_path / "all.slow5", preserve_read_ids=True)
+    _run(tmp_path / "s0.slow5", preserve_read_ids=True, num_shards=2,
+         shard_index=0)
+    _run(tmp_path / "s1.slow5", preserve_read_ids=True, num_shards=2,
+         shard_index=1)
+
+    def by_id(path):
+        _, recs = read_slow5(path)
+        return {r["read_id"]: r["signal"] for r in recs}
+
+    full = by_id(tmp_path / "all.slow5")
+    sharded = {**by_id(tmp_path / "s0.slow5"), **by_id(tmp_path / "s1.slow5")}
+    assert set(full) == set(sharded)
+    assert len(full) == 7
+    for read_id, signal in full.items():
+        np.testing.assert_array_equal(signal, sharded[read_id])
