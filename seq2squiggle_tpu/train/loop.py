@@ -103,6 +103,9 @@ def make_train_step(config: dict, optimizer):
             lambda p: loss_fn(p, batch, mask, config, rng), has_aux=True
         )(params)
         metrics["grad_norm"] = optax_global_norm(grads)
+        # Per-parameter gradient norms (reference logs these every 100
+        # steps, model.py:410-416); ~56 scalars, negligible to return.
+        metrics.update(per_param_grad_norms(grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: (p + u).astype(p.dtype), params, updates
@@ -126,11 +129,20 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 
 def per_param_grad_norms(grads) -> Dict[str, jnp.ndarray]:
-    out = {}
-    for kp, leaf in jax.tree_util.tree_leaves_with_path(grads):
-        out["grad_norm/" + jax.tree_util.keystr(kp)] = jnp.linalg.norm(
-            leaf.astype(jnp.float32)
-        )
+    def walk(tree, prefix, out):
+        if isinstance(tree, dict):
+            for key, value in tree.items():
+                walk(value, f"{prefix}{key}/", out)
+        elif isinstance(tree, (list, tuple)):
+            for i, value in enumerate(tree):
+                walk(value, f"{prefix}{i}/", out)
+        else:
+            out[f"grad_norm/{prefix[:-1]}"] = jnp.linalg.norm(
+                tree.astype(jnp.float32)
+            )
+
+    out: Dict[str, jnp.ndarray] = {}
+    walk(grads, "", out)
     return out
 
 
