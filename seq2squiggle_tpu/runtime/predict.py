@@ -170,3 +170,24 @@ def make_predict_fn(config: dict, knobs: PredictKnobs):
     """Build the jitted predict function for a fixed config + knob set."""
     step = functools.partial(predict_step, config=dict(config), knobs=knobs)
     return jax.jit(step)
+
+
+def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh):
+    """Data-parallel predict over a 1-D 'dp' mesh via shard_map.
+
+    Reads are embarrassingly parallel: params replicate, the chunk batch
+    splits over chips, and the per-chunk (read-index-derived) RNG keys make
+    the sharded output bit-identical to single-chip execution. ZERO
+    cross-chip collectives in the loop (BASELINE north star).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    step = functools.partial(predict_step, config=dict(config), knobs=knobs)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -25,7 +25,7 @@ from ..io.writers import BLOW5Writer, POD5Writer
 from ..profiles import get_profile, update_config_for_profile, update_profile
 from .batcher import iter_batches
 from .exporter import StreamingExporter
-from .predict import PredictKnobs, make_predict_fn
+from .predict import PredictKnobs, make_predict_fn, make_predict_fn_sharded
 
 logger = logging.getLogger("seq2squiggle_tpu")
 
@@ -160,7 +160,22 @@ def simulate_run(
         signal_range=float(profile_dict["range"]),
         offset_mean=float(profile_dict["offset_mean"]),
     )
-    predict_fn = make_predict_fn(config, knobs)
+    # Device-level data parallelism: with multiple local chips, shard the
+    # chunk batch over a 1-D 'dp' mesh (replicated params, zero inner-loop
+    # collectives). Output is bit-identical to single-chip execution thanks
+    # to the read-index-derived RNG keys.
+    devices = jax.devices()
+    device_dp = len(devices) > 1 and predict_batch_size % len(devices) == 0
+    if device_dp:
+        from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_dp=len(devices), n_tp=1)
+        logger.info(f"Data-parallel prediction over {len(devices)} devices")
+        predict_fn = make_predict_fn_sharded(config, knobs, mesh)
+        _batch_sharding = batch_sharding(mesh)
+        _param_sharding = replicated(mesh)
+    else:
+        predict_fn = make_predict_fn(config, knobs)
     base_key = jax.random.key(seed)
 
     reads, total_chunks = get_reads(
@@ -186,8 +201,8 @@ def simulate_run(
         total_chunks = total_chunks // num_shards
         read_idx_start, read_idx_step = shard_index, num_shards
 
-    device = jax.devices()[0]
-    params = jax.device_put(params, device)
+    device = _batch_sharding if device_dp else devices[0]
+    params = jax.device_put(params, _param_sharding if device_dp else device)
 
     exporter = StreamingExporter(writer, export_every_n_samples)
 

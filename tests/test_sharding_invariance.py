@@ -24,3 +24,19 @@ def test_two_shards_match_unsharded(tmp_path):
     assert len(full) == 7
     for read_id, signal in full.items():
         np.testing.assert_array_equal(signal, sharded[read_id])
+
+
+def test_device_dp_matches_single_device(tmp_path):
+    """batch divisible by 8 devices -> shard_map dp path; must equal the
+    single-device path bit-for-bit."""
+    from test_e2e import _run
+
+    _run(tmp_path / "dp.slow5", batch_size=64)   # 64 % 8 == 0 -> device dp
+    _run(tmp_path / "sd.slow5", batch_size=63)   # 63 % 8 != 0 -> single device
+    from seq2squiggle_tpu.io.slow5 import read_slow5
+
+    _, r1 = read_slow5(tmp_path / "dp.slow5")
+    _, r2 = read_slow5(tmp_path / "sd.slow5")
+    assert len(r1) == len(r2) == 7
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a["signal"], b["signal"])
