@@ -91,6 +91,7 @@ class StreamingExporter:
 
     def finalize(self):
         """Flush everything (any read still open is treated as complete)."""
-        self._ready.extend(r for r in self._order if r not in set(self._ready))
+        ready = set(self._ready)
+        self._ready.extend(r for r in self._order if r not in ready)
         self.flush()
         self.writer.close()

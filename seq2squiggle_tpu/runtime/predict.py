@@ -55,6 +55,20 @@ class PredictKnobs:
     digitisation: float = 2048.0
     signal_range: float = 281.345551
     offset_mean: float = -127.5655735
+    # device->host wire format: int8 deltas + sparse exact exceptions
+    # (1.36x fewer bytes than raw int16; the D2H link dominates the loop).
+    # Only profitable for low-noise signals: Gaussian amplitude noise makes
+    # most first-differences exceed int8, so simulate_run enables this for
+    # ideal (noise-free) runs and the overflow fallback covers the rest.
+    wire_packed: bool = False
+
+
+# Exception slots per row for the packed wire format. Structurally, only
+# k-mer boundaries (<=15) and the first sample can produce first-differences
+# outside int8 (within-k-mer jumps need a >5-sigma amplitude-noise step);
+# 24 leaves headroom, and the kernel reports the true max so the host can
+# assert losslessness.
+WIRE_EXC_SLOTS = 24
 
 
 def _compute_durations(
@@ -163,7 +177,40 @@ def predict_step(
         (drop_key, signal_raw), dimension=-1, is_stable=True, num_keys=1
     )
     counts = jnp.sum(keep, axis=1).astype(jnp.int32)
-    return signal_compact, counts
+    if not knobs.wire_packed:
+        return signal_compact, counts
+    return _pack_wire(signal_compact, counts) + (counts,)
+
+
+def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray):
+    """Pack (B, T) int16 front-compacted signal into int8 first-differences
+    plus sparse exact exceptions.
+
+    Returns (lo (B,T) int8, exc_pos (B,E) uint8, exc_val (B,E) int32,
+    max_exc () int32). Decode: runtime/wire.py unpack_wire. max_exc lets the
+    host verify no row overflowed the exception slots (lossless guarantee).
+    """
+    B, T = signal_compact.shape
+    pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+    s = jnp.where(pos < counts[:, None], signal_compact.astype(jnp.int32), 0)
+    d = jnp.diff(s, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
+    d = jnp.where(pos < counts[:, None], d, 0)
+
+    lo = jnp.clip(d, -127, 127)
+    resid = d - lo  # exact correction, 0 for in-range deltas
+    over = resid != 0
+
+    # Front-pack (position, residual) of the exceptions via stable sort.
+    sort_key = (~over).astype(jnp.int8)
+    _, pos_sorted, resid_sorted = jax.lax.sort(
+        (sort_key, jnp.broadcast_to(pos, (B, T)), resid),
+        dimension=-1, is_stable=True, num_keys=1,
+    )
+    E = WIRE_EXC_SLOTS
+    exc_pos = pos_sorted[:, :E].astype(jnp.uint8)
+    exc_val = resid_sorted[:, :E]  # slots past the true count are exact zeros
+    max_exc = jnp.max(jnp.sum(over, axis=1)).astype(jnp.int32)
+    return lo.astype(jnp.int8), exc_pos, exc_val, max_exc
 
 
 def make_predict_fn(config: dict, knobs: PredictKnobs):

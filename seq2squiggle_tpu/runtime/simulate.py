@@ -159,6 +159,9 @@ def simulate_run(
         digitisation=float(profile_dict["digitisation"]),
         signal_range=float(profile_dict["range"]),
         offset_mean=float(profile_dict["offset_mean"]),
+        # int8-delta packing only wins when amplitude noise is off; noisy
+        # signals overflow it (handled by the raw fallback, but pointless).
+        wire_packed=(noise_std <= 0),
     )
     # Device-level data parallelism: with multiple local chips, shard the
     # chunk batch over a 1-D 'dp' mesh (replicated params, zero inner-loop
@@ -226,9 +229,53 @@ def simulate_run(
     pipeline_depth = 3
     pending: list = []
 
+    state = {"knobs": knobs, "predict_fn": predict_fn, "raw_fn": None}
+
+    def dataclasses_replace_wire(k):
+        import dataclasses
+
+        return dataclasses.replace(k, wire_packed=False)
+
+    def _raw_recompute(batch):
+        """Re-run one batch with the raw (unpacked) wire format."""
+        if state["raw_fn"] is None:
+            raw_knobs = dataclasses_replace_wire(state["knobs"])
+            if device_dp:
+                state["raw_fn"] = make_predict_fn_sharded(config, raw_knobs, mesh)
+            else:
+                state["raw_fn"] = make_predict_fn(config, raw_knobs)
+        return state["raw_fn"](
+            params,
+            jax.device_put(batch.codes, device),
+            jax.device_put(batch.read_idx, device),
+            jax.device_put(batch.chunk_off, device),
+            base_key,
+        )
+
     def drain(entry):
-        (signal_dev, counts_dev), segments = entry
-        signal_np = np.asarray(signal_dev)
+        outs, batch = entry
+        segments = batch.segments
+        if len(outs) == 5:  # packed wire format
+            from .wire import unpack_wire
+
+            lo, exc_pos, exc_val, max_exc, counts_dev = outs
+            try:
+                signal_np = unpack_wire(
+                    np.asarray(lo), np.asarray(exc_pos), np.asarray(exc_val),
+                    int(max_exc),
+                )
+            except RuntimeError as exc:
+                # Extreme per-sample jumps (e.g. untrained weights) can
+                # overflow the exception slots; recompute this batch raw and
+                # stop packing for the rest of the run. Lossless either way.
+                logger.warning(f"{exc} — switching to raw wire format.")
+                signal_dev, counts_dev = _raw_recompute(batch)
+                signal_np = np.asarray(signal_dev)
+                state["knobs"] = dataclasses_replace_wire(state["knobs"])
+                state["predict_fn"] = state["raw_fn"]
+        else:
+            signal_dev, counts_dev = outs
+            signal_np = np.asarray(signal_dev)
         counts_np = np.asarray(counts_dev)
         exporter.add_batch(signal_np, counts_np, segments)
         if progress is not None:
@@ -242,11 +289,12 @@ def simulate_run(
         codes_dev = jax.device_put(batch.codes, device)
         ridx_dev = jax.device_put(batch.read_idx, device)
         coff_dev = jax.device_put(batch.chunk_off, device)
+        fn = state["predict_fn"]
         if first_batch and config.get("use_pallas", "auto") == "auto":
             # Fused-kernel support varies by backend; fall back to the pure
             # XLA path rather than failing the run.
             try:
-                outs = predict_fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+                outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key)
                 jax.block_until_ready(outs)
             except Exception as exc:
                 logger.warning(
@@ -254,16 +302,19 @@ def simulate_run(
                     f"({type(exc).__name__}); falling back to XLA blocks."
                 )
                 config = dict(config, use_pallas=False)
-                predict_fn = make_predict_fn(config, knobs)
-                outs = predict_fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+                state["predict_fn"] = make_predict_fn(config, state["knobs"])
+                state["raw_fn"] = None
+                outs = state["predict_fn"](
+                    params, codes_dev, ridx_dev, coff_dev, base_key
+                )
             first_batch = False
         else:
-            outs = predict_fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+            outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key)
         # Start the device->host copies now so they overlap the NEXT batch's
         # compute (D2H over the interconnect is the measured bottleneck).
         for o in outs:
             o.copy_to_host_async()
-        pending.append((outs, batch.segments))
+        pending.append((outs, batch))
         if len(pending) >= pipeline_depth:
             drain(pending.pop(0))
     for entry in pending:
