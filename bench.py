@@ -20,6 +20,9 @@ import tempfile
 import time
 
 N_READS = int(os.environ.get("BENCH_READS", 10_000))
+# 2048-chunk batches halve the per-batch device round trips vs the CLI
+# default of 1024 — significant over the network-tunneled chip.
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 TARGET_SECONDS = 60.0
 
 
@@ -52,7 +55,7 @@ def main():
         fasta="/root/reference/example/lamda_genome.fasta", read_input=False,
         n=64, r=1000, c=-1, out=out, profile="dna-r10-prom",
         dwell_mean=None, dwell_std=0.0, noise_std=2.0, noise_sampling=True,
-        duration_sampling=True, distr="expon", predict_batch_size=1024,
+        duration_sampling=True, distr="expon", predict_batch_size=BATCH,
         export_every_n_samples=1_000_000, seed=42, show_progress=False,
     )
     simulate_run(**warm)

@@ -103,3 +103,30 @@ def test_profile_forces_kmer(tmp_path, profile, kmer):
     cfg = load_config(None)
     update_config_for_profile(profile, cfg)
     assert cfg["seq_kmer"] == kmer
+
+
+def test_e2e_r9_profile_pod5(tmp_path):
+    """BASELINE config 3: R9 chemistry (k=6 model) with POD5 export."""
+    from seq2squiggle_tpu.io.pod5_native import read_pod5
+
+    out = tmp_path / "out.pod5"
+    _run(out, profile="dna-r9-min", dwell_std=1.5, duration_sampling=False)
+    data = read_pod5(str(out))
+    assert len(data["reads"]) == 7
+    assert data["run_info"]["sequencing_kit"] == "SQK-LSK109"
+    assert all(r["num_samples"] > 0 for r in data["reads"])
+
+
+def test_e2e_coverage_mode(tmp_path):
+    """BASELINE config 4: coverage mode (-c) on a genome."""
+    out = tmp_path / "out.slow5"
+    stats = _run(
+        out, fasta="/root/reference/example/lamda_genome.fasta",
+        read_input=False, n=-1, c=2, r=2000,
+    )
+    from seq2squiggle_tpu.io.slow5 import read_slow5
+
+    _, records = read_slow5(out)
+    # lambda is 48.5 kb; 2x coverage at r=2000 -> ~48 reads (minus QC skips)
+    assert 30 <= len(records) <= 60
+    assert stats["samples"] > 0
