@@ -203,9 +203,29 @@ def train_run(
     total_steps = steps_per_epoch * int(config["max_epochs"])
 
     optimizer = build_optimizer(config, total_steps)
+
+    # Multi-device data parallelism: replicate params, shard batches over a
+    # 1-D 'dp' mesh; XLA inserts the gradient all-reduce from the shardings.
+    mesh = None
+    if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+        from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_dp=jax.device_count(), n_tp=1)
+        logger.info(f"Data-parallel training over {jax.device_count()} devices")
+        params = jax.device_put(params, replicated(mesh))
+        _bsh = batch_sharding(mesh)
+
     opt_state = optimizer.init(params)
     train_step = make_train_step(config, optimizer)
     valid_step = make_valid_step(config)
+
+    def place_batch(batch, mask):
+        if mesh is None:
+            return batch, jnp.asarray(mask)
+        return (
+            {k: jax.device_put(v, _bsh) for k, v in batch.items()},
+            jax.device_put(mask, _bsh),
+        )
 
     metrics_log = MetricsLogger(log_dir, config)
     rng = np.random.default_rng(seed)
@@ -220,6 +240,7 @@ def train_run(
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             dropout_rng = jax.random.fold_in(base_key, step)
+            batch, mask = place_batch(batch, mask)
             params, opt_state, metrics = train_step(
                 params, opt_state, batch, mask, dropout_rng
             )
@@ -235,6 +256,7 @@ def train_run(
         n_val = 0
         first_batch = None
         for batch, mask in epoch_batches(valid_ds, batch_size, rng, shuffle=False):
+            batch, mask = place_batch(batch, mask)
             metrics = valid_step(params, batch, mask)
             if first_batch is None:
                 first_batch = (batch, mask)
