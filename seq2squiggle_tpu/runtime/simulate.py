@@ -236,14 +236,18 @@ def simulate_run(
 
         return dataclasses.replace(k, wire_packed=False)
 
+    def build_predict_fn(k):
+        """Rebuild the (possibly device-sharded) predict fn for knobs k."""
+        if device_dp:
+            return make_predict_fn_sharded(config, k, mesh)
+        return make_predict_fn(config, k)
+
     def _raw_recompute(batch):
         """Re-run one batch with the raw (unpacked) wire format."""
         if state["raw_fn"] is None:
-            raw_knobs = dataclasses_replace_wire(state["knobs"])
-            if device_dp:
-                state["raw_fn"] = make_predict_fn_sharded(config, raw_knobs, mesh)
-            else:
-                state["raw_fn"] = make_predict_fn(config, raw_knobs)
+            state["raw_fn"] = build_predict_fn(
+                dataclasses_replace_wire(state["knobs"])
+            )
         return state["raw_fn"](
             params,
             jax.device_put(batch.codes, device),
@@ -302,7 +306,7 @@ def simulate_run(
                     f"({type(exc).__name__}); falling back to XLA blocks."
                 )
                 config = dict(config, use_pallas=False)
-                state["predict_fn"] = make_predict_fn(config, state["knobs"])
+                state["predict_fn"] = build_predict_fn(state["knobs"])
                 state["raw_fn"] = None
                 outs = state["predict_fn"](
                     params, codes_dev, ridx_dev, coff_dev, base_key
