@@ -187,8 +187,9 @@ def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray):
     plus sparse exact exceptions.
 
     Returns (lo (B,T) int8, exc_pos (B,E) uint8, exc_val (B,E) int32,
-    max_exc () int32). Decode: runtime/wire.py unpack_wire. max_exc lets the
-    host verify no row overflowed the exception slots (lossless guarantee).
+    n_exc (B,) int32). Decode: runtime/wire.py unpack_wire. n_exc lets the
+    host verify no row overflowed the exception slots (lossless guarantee);
+    it is per-row so every output shards cleanly over the 'dp' mesh axis.
     """
     B, T = signal_compact.shape
     pos = jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -209,8 +210,8 @@ def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray):
     E = WIRE_EXC_SLOTS
     exc_pos = pos_sorted[:, :E].astype(jnp.uint8)
     exc_val = resid_sorted[:, :E]  # slots past the true count are exact zeros
-    max_exc = jnp.max(jnp.sum(over, axis=1)).astype(jnp.int32)
-    return lo.astype(jnp.int8), exc_pos, exc_val, max_exc
+    n_exc = jnp.sum(over, axis=1).astype(jnp.int32)
+    return lo.astype(jnp.int8), exc_pos, exc_val, n_exc
 
 
 def make_predict_fn(config: dict, knobs: PredictKnobs):
@@ -230,11 +231,12 @@ def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh):
     from jax.sharding import PartitionSpec as P
 
     step = functools.partial(predict_step, config=dict(config), knobs=knobs)
+    n_out = 5 if knobs.wire_packed else 2
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
-        out_specs=(P("dp"), P("dp")),
+        out_specs=tuple(P("dp") for _ in range(n_out)),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -262,11 +262,11 @@ def simulate_run(
         if len(outs) == 5:  # packed wire format
             from .wire import unpack_wire
 
-            lo, exc_pos, exc_val, max_exc, counts_dev = outs
+            lo, exc_pos, exc_val, n_exc, counts_dev = outs
             try:
                 signal_np = unpack_wire(
                     np.asarray(lo), np.asarray(exc_pos), np.asarray(exc_val),
-                    int(max_exc),
+                    np.asarray(n_exc),
                 )
             except RuntimeError as exc:
                 # Extreme per-sample jumps (e.g. untrained weights) can

@@ -14,11 +14,12 @@ from .predict import WIRE_EXC_SLOTS
 
 
 def unpack_wire(lo: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
-                max_exc: int) -> np.ndarray:
+                n_exc: np.ndarray) -> np.ndarray:
     """(B,T) int8 deltas + (B,E) exceptions -> (B,T) int16 signal."""
-    if int(max_exc) > WIRE_EXC_SLOTS:
+    max_exc = int(np.max(n_exc))
+    if max_exc > WIRE_EXC_SLOTS:
         raise RuntimeError(
-            f"wire-format exception overflow: a row produced {int(max_exc)} "
+            f"wire-format exception overflow: a row produced {max_exc} "
             f"out-of-range deltas (> {WIRE_EXC_SLOTS} slots). This indicates "
             "an extreme signal; rerun with wire_packed=False."
         )

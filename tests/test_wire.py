@@ -30,10 +30,10 @@ def test_pack_unpack_roundtrip_random():
     counts = rng.integers(1, T + 1, B).astype(np.int32)
     sig = np.where(np.arange(T)[None] < counts[:, None], sig, 0).astype(np.int16)
 
-    lo, pos, val, max_exc = jax.jit(_pack_wire)(sig, counts)
-    assert int(max_exc) <= WIRE_EXC_SLOTS
+    lo, pos, val, n_exc = jax.jit(_pack_wire)(sig, counts)
+    assert int(np.max(np.asarray(n_exc))) <= WIRE_EXC_SLOTS
     out = unpack_wire(np.asarray(lo), np.asarray(pos), np.asarray(val),
-                      int(max_exc))
+                      np.asarray(n_exc))
     mask = np.arange(T)[None] < counts[:, None]
     np.testing.assert_array_equal(out[mask], sig[mask])
 
@@ -43,11 +43,11 @@ def test_overflow_detected():
     T = 250
     sig = (np.arange(T, dtype=np.int16) * 200).reshape(1, T)
     counts = np.array([T], np.int32)
-    lo, pos, val, max_exc = jax.jit(_pack_wire)(sig, counts)
-    assert int(max_exc) > WIRE_EXC_SLOTS
+    lo, pos, val, n_exc = jax.jit(_pack_wire)(sig, counts)
+    assert int(np.max(np.asarray(n_exc))) > WIRE_EXC_SLOTS
     with pytest.raises(RuntimeError, match="exception overflow"):
         unpack_wire(np.asarray(lo), np.asarray(pos), np.asarray(val),
-                    int(max_exc))
+                    np.asarray(n_exc))
 
 
 def test_packed_predict_matches_raw():
@@ -66,9 +66,9 @@ def test_packed_predict_matches_raw():
     sig_raw, counts_raw = np.asarray(sig_raw), np.asarray(counts_raw)
 
     fn_packed = make_predict_fn(cfg, PredictKnobs(wire_packed=True))
-    lo, pos, val, max_exc, counts_p = fn_packed(params, codes, ridx, coff, key)
+    lo, pos, val, n_exc, counts_p = fn_packed(params, codes, ridx, coff, key)
     sig_packed = unpack_wire(np.asarray(lo), np.asarray(pos),
-                             np.asarray(val), int(max_exc))
+                             np.asarray(val), np.asarray(n_exc))
     np.testing.assert_array_equal(counts_raw, np.asarray(counts_p))
     mask = np.arange(250)[None] < counts_raw[:, None]
     np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
