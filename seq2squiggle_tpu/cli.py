@@ -294,7 +294,10 @@ def preprocess(events_path, outdir, no_batches, chunksize, partition_by, rna,
                 default=None, required=False)
 @click.option("--save_valid_plots", default=True, type=bool,
               help="Save validation plots during training.")
-def train(train_dir, valid_dir, save_valid_plots, seed, model, config,
+@click.option("--resume", is_flag=True, default=False, show_default=True,
+              help="Resume from the train_state.pkl next to the model path "
+              "(restores optimizer state and epoch).")
+def train(train_dir, valid_dir, save_valid_plots, resume, seed, model, config,
           verbosity):
     """Train the model with preprocessed .npy chunks.
 
@@ -318,6 +321,7 @@ def train(train_dir, valid_dir, save_valid_plots, seed, model, config,
         model_path=model,
         save_valid_plots=save_valid_plots,
         seed=resolved_seed,
+        resume=resume,
     )
     logger.info("Training done.")
 

@@ -165,12 +165,20 @@ def sample_reads_from_reference(
             "You can only either specify the coverage c or the number of reads, "
             "but not both"
         )
-    if r <= 0:
-        raise ValueError("You need to specify the read length r")
 
     total_len = sum(len(s) for s in genome_seqs)
     avg_genome_len = total_len / len(genome_seqs)
-    seq_num = n if n != -1 else round(c * total_len / r)
+    if r <= 0:
+        # Whole-contig mode (-r 0/-1): each read is one full contig/
+        # transcript. (The reference documents this but its r<=0 guard makes
+        # the path unreachable, seq2squiggle.py:427 vs utils.py:554-556.)
+        if c != -1:
+            raise ValueError(
+                "Whole-contig mode (-r <= 0) requires -n, not coverage."
+            )
+        seq_num = n
+    else:
+        seq_num = n if n != -1 else round(c * total_len / r)
     logger.debug(f"Number of reads: {seq_num}")
 
     if r > avg_genome_len and profile.startswith("dna"):
@@ -205,6 +213,8 @@ def sample_reads_from_reference(
         if r > 0:
             lengths = draw_lengths_batch(distr, r, total_len, m, round_rng)
         else:
+            # whole-contig mode: full contig from position 0
+            start_in_genome = np.zeros(m, np.int64)
             lengths = np.asarray(
                 [len(genome_seqs[g]) for g in genome_idx], np.int64
             )

@@ -169,6 +169,7 @@ def train_run(
     save_valid_plots: bool,
     seed: int = 42,
     max_steps_per_epoch: Optional[int] = None,
+    resume: bool = False,
 ) -> dict:
     """Train a model; returns final metrics. Checkpoints land next to
     model_path (or ./logs-<log_name>/ like the reference, train.py:64-70)."""
@@ -216,6 +217,22 @@ def train_run(
         _bsh = batch_sharding(mesh)
 
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    state_path = os.path.join(log_dir, "train_state.pkl")
+    if resume and os.path.exists(state_path):
+        # Mid-training resume with optimizer state (beyond the reference's
+        # weights-only checkpoints).
+        saved = load_train_state(state_path)
+        params = saved["params"]
+        opt_state = jax.tree_util.tree_map(
+            lambda ref, new: np.asarray(new), opt_state, saved["opt_state"]
+        )
+        start_epoch = int(saved["epoch"]) + 1
+        logger.info(f"Resuming training from epoch {start_epoch}")
+    elif resume:
+        logger.warning(f"--resume requested but {state_path} not found; "
+                       "starting fresh.")
+
     train_step = make_train_step(config, optimizer)
     valid_step = make_valid_step(config)
 
@@ -231,9 +248,9 @@ def train_run(
     rng = np.random.default_rng(seed)
     base_key = jax.random.key(seed)
 
-    step = 0
+    step = start_epoch * steps_per_epoch
     last_metrics: Dict[str, float] = {}
-    for epoch in range(int(config["max_epochs"])):
+    for epoch in range(start_epoch, int(config["max_epochs"])):
         for i, (batch, mask) in enumerate(
             epoch_batches(train_ds, batch_size, rng, shuffle=True)
         ):

@@ -137,3 +137,27 @@ def test_train_state_resume(tmp_path):
     state = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
     assert state["epoch"] == cfg["max_epochs"] - 1
     assert "params" in state and "opt_state" in state
+
+
+def test_train_resume_continues(tmp_path):
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg)
+    from seq2squiggle_tpu.train.loop import load_train_state, train_run
+
+    model_path = tmp_path / "ckpt" / "model.npz"
+    cfg1 = dict(cfg, max_epochs=1)
+    train_run(train_dir=train_dir, valid_dir=None, config=cfg1,
+              model_path=str(model_path), save_valid_plots=False, seed=1,
+              max_steps_per_epoch=2)
+    state1 = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
+    assert state1["epoch"] == 0
+
+    cfg2 = dict(cfg, max_epochs=3)
+    train_run(train_dir=train_dir, valid_dir=None, config=cfg2,
+              model_path=str(model_path), save_valid_plots=False, seed=1,
+              max_steps_per_epoch=2, resume=True)
+    state2 = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
+    assert state2["epoch"] == 2
+    # epoch-1 and epoch-2 checkpoints were produced by the resumed run
+    assert (tmp_path / "ckpt" / "model-epoch1.npz").exists()
+    assert (tmp_path / "ckpt" / "model-epoch2.npz").exists()
