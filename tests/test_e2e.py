@@ -130,3 +130,19 @@ def test_e2e_coverage_mode(tmp_path):
     # lambda is 48.5 kb; 2x coverage at r=2000 -> ~48 reads (minus QC skips)
     assert 30 <= len(records) <= 60
     assert stats["samples"] > 0
+
+
+def test_e2e_whole_contig_mode(tmp_path):
+    """-r 0 with -n: each read is one full contig (documented reference
+    behavior whose code path was unreachable there)."""
+    out = tmp_path / "out.slow5"
+    stats = _run(out, fasta="/root/reference/example/lamda_genome.fasta",
+                 read_input=False, n=2, r=0, duration_sampling=False,
+                 dwell_mean=4.0, noise_std=0.0)
+    from seq2squiggle_tpu.io.slow5 import read_slow5
+
+    _, records = read_slow5(out)
+    assert len(records) == 2
+    # lambda is 48,502 bp -> 48,494 k-mers -> ceil(/16) = 3031 chunks/read
+    assert stats["chunks"] == 2 * 3031
+    assert all(r["len_raw_signal"] > 0 for r in records)
