@@ -16,7 +16,8 @@ the compiled program as constants - they are fixed for a simulation run, and
 constant-folding them lets XLA fuse the noise/digitisation epilogue.
 
 Host <-> device traffic per batch is B*16*k int8 in (k-mer codes; one-hot
-happens on device) and B*250 int16 + packed bitmask out.
+happens on device) and, out, either B*250 int16 front-compacted samples +
+per-row counts, or the packed int8-delta wire format (see _pack_wire).
 """
 
 from __future__ import annotations
