@@ -125,3 +125,17 @@ def test_partition_by_keeps_reads_separate(tmp_path, cfg):
     data = build_chunkset(df, cfg, rna=False, partition_by=True)
     # each read padded to 16 independently -> 2 chunks
     assert data["chunks"].shape[0] == 2
+
+
+def test_preprocess_gz_events(tmp_path, cfg):
+    import gzip
+
+    df = make_events(64, seed=9)
+    events = tmp_path / "events.tsv.gz"
+    with gzip.open(events, "wt") as fh:
+        df.to_csv(fh, sep="\t", index=False)
+    outdir = tmp_path / "out"
+    preprocess_run(str(events), str(outdir), batches=True, chunksize=64,
+                   partition_by=False, rna=False, config=cfg)
+    chunks = np.load(outdir / "chunks-0000.npy")
+    assert chunks.shape[0] == 4
