@@ -1,0 +1,360 @@
+"""Golden numerical parity against the ACTUAL torch reference modules.
+
+Round-1 parity was proven against a self-written numpy oracle
+(tests/numpy_reference.py) — same author, shared misreadings possible.
+These tests import the reference's own torch code from
+/root/reference/src/seq2squiggle (layers.py, modules.py — torch is installed
+in this image; the only import blocker is the dead `from numba import jit`
+at modules.py:10, removed with a sys.modules stub), load IDENTICAL weights
+into both stacks via models/torch_import.params_from_state_dict, and assert
+agreement:
+
+  - sinusoid PE table          (reference layers.py:145-165)
+  - FFTBlock, with + without key-padding mask (layers.py:11-142)
+  - Encoder incl. the pre-PE emb_out tap      (modules.py:17-89)
+  - Decoder                                    (modules.py:92-142)
+  - NoiseSampler head                          (modules.py:228-278)
+  - DurationSampler Gamma(conc, rate) params   (modules.py:145-225)
+  - LengthRegulator.LR on integer durations    (modules.py:309-441)
+  - full deterministic predict path (static dwell, no noise), float signal
+    and int16 digitisation                     (model.py:195-251 semantics)
+  - event-level statistics of the SAMPLED path (durations + noisy signal)
+    — RNG streams differ by design, so parity is distributional (KS).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# The reference imports numba (dead import, modules.py:10); stub it.
+if "numba" not in sys.modules:
+    _numba = types.ModuleType("numba")
+    _numba.jit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
+    sys.modules["numba"] = _numba
+
+_REF_SRC = pathlib.Path("/root/reference/src")
+if not (_REF_SRC / "seq2squiggle" / "modules.py").exists():
+    pytest.skip("reference source tree not available", allow_module_level=True)
+if str(_REF_SRC) not in sys.path:
+    sys.path.insert(0, str(_REF_SRC))
+
+from seq2squiggle import layers as ref_layers  # noqa: E402
+from seq2squiggle import modules as ref_modules  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from seq2squiggle_tpu.config import DEFAULT_CONFIG  # noqa: E402
+from seq2squiggle_tpu.models.fft_model import (  # noqa: E402
+    decoder_forward,
+    duration_gamma_params,
+    encoder_forward,
+    noise_head,
+)
+from seq2squiggle_tpu.models.torch_import import (  # noqa: E402
+    _block,
+    params_from_state_dict,
+)
+from seq2squiggle_tpu.ops.attention import fft_block  # noqa: E402
+from seq2squiggle_tpu.ops.positional import sinusoid_encoding_table  # noqa: E402
+from seq2squiggle_tpu.ops.regulator import length_regulate  # noqa: E402
+from seq2squiggle_tpu.sampling import (  # noqa: E402
+    per_chunk_keys,
+    sample_gamma_durations,
+)
+
+torch.manual_seed(0)
+torch.set_grad_enabled(False)
+
+
+def _config() -> dict:
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["compute_dtype"] = "float32"  # fidelity mode: HIGHEST-precision matmuls
+    cfg["use_pallas"] = False
+    return cfg
+
+
+CFG = _config()
+D = CFG["dmodel"]
+K = CFG["max_dna_len"]
+T = CFG["max_signal_len"]
+HEADS = CFG["encoder_heads"]
+
+
+def _torch_modules(cfg):
+    """Fresh reference modules (eval mode: dropout off) + their state dict
+    under the reference model.py:47-50 prefixes."""
+    enc = ref_modules.Encoder(cfg).eval()
+    dec = ref_modules.Decoder(cfg).eval()
+    noise = ref_modules.NoiseSampler(cfg).eval()
+    lr = ref_modules.LengthRegulator(cfg).eval()
+    sd = {}
+    for prefix, module in [
+        ("encoders", enc),
+        ("decoders", dec),
+        ("noise_sampler", noise),
+        ("length_regulator", lr),
+    ]:
+        for k, v in module.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.numpy()
+    return enc, dec, noise, lr, sd
+
+
+ENC_T, DEC_T, NOISE_T, LR_T, STATE_DICT = _torch_modules(CFG)
+PARAMS = jax.tree.map(jnp.asarray, params_from_state_dict(STATE_DICT, CFG))
+
+
+def _rand_onehot(b: int, rng: np.random.Generator) -> np.ndarray:
+    """(B, K, k*5) float32 one-hot k-mer encodings, like load_fasta output."""
+    k = CFG["seq_kmer"]
+    codes = rng.integers(1, 5, size=(b, K, k))  # ACGT rows of the 5-char map
+    one_hot = np.zeros((b, K, k, 5), np.float32)
+    np.put_along_axis(one_hot, codes[..., None], 1.0, axis=-1)
+    return one_hot.reshape(b, K, k * 5)
+
+
+# ---------------------------------------------------------------------------
+# Component parity
+# ---------------------------------------------------------------------------
+
+
+def test_sinusoid_table_parity():
+    for n_pos in (K, T):
+        ref = ref_layers.get_sinusoid_encoding_table(n_pos, D).numpy()
+        ours = sinusoid_encoding_table(n_pos, D)
+        np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+
+
+def test_fft_block_parity():
+    blk = ref_layers.FFTBlock(D, HEADS, D // HEADS, D // HEADS, CFG["dff"]).eval()
+    sd = {f"blk.{k}": v.numpy() for k, v in blk.state_dict().items()}
+    ours_p = jax.tree.map(jnp.asarray, _block(sd, "blk"))
+
+    x = np.random.default_rng(1).normal(size=(4, K, D)).astype(np.float32)
+    ref_out, _ = blk(torch.from_numpy(x))
+    out = fft_block(ours_p, jnp.asarray(x), HEADS)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=2e-5)
+
+
+def test_fft_block_mask_parity():
+    """Key-padding mask: True = padded position hidden from every query
+    (reference layers.py:23-36)."""
+    blk = ref_layers.FFTBlock(D, HEADS, D // HEADS, D // HEADS, CFG["dff"]).eval()
+    sd = {f"blk.{k}": v.numpy() for k, v in blk.state_dict().items()}
+    ours_p = jax.tree.map(jnp.asarray, _block(sd, "blk"))
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, K, D)).astype(np.float32)
+    mask = np.zeros((4, K), bool)
+    mask[:, 10:] = True  # hide the tail keys
+    ref_out, _ = blk(torch.from_numpy(x), mask=torch.from_numpy(mask))
+    out = fft_block(ours_p, jnp.asarray(x), HEADS, mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=2e-5)
+
+
+def test_encoder_parity_including_emb_tap():
+    one_hot = _rand_onehot(8, np.random.default_rng(3))
+    ref_enc, ref_emb = ENC_T(torch.from_numpy(one_hot))
+    enc, emb = encoder_forward(PARAMS, jnp.asarray(one_hot), CFG)
+    np.testing.assert_allclose(np.asarray(emb), ref_emb.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(enc), ref_enc.numpy(), atol=2e-5)
+
+
+def test_decoder_parity():
+    x = np.random.default_rng(4).normal(size=(8, T, D)).astype(np.float32) * 0.5
+    ref_out = DEC_T(torch.from_numpy(x)).numpy()
+    out = decoder_forward(PARAMS, jnp.asarray(x), CFG)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)
+
+
+def test_noise_head_parity():
+    emb = np.random.default_rng(5).normal(size=(8, K, D)).astype(np.float32)
+    ref_std = NOISE_T(torch.from_numpy(emb)).numpy()  # (B, K)
+    ours = noise_head(PARAMS, jnp.asarray(emb), CFG)
+    np.testing.assert_allclose(np.asarray(ours), ref_std, atol=2e-5)
+
+
+def test_duration_gamma_params_parity():
+    emb = np.random.default_rng(6).normal(size=(8, K, D)).astype(np.float32)
+    _, dist = LR_T.duration_sampler(torch.from_numpy(emb))
+    conc, rate = duration_gamma_params(PARAMS, jnp.asarray(emb), CFG)
+    np.testing.assert_allclose(
+        np.asarray(conc), dist.concentration.numpy()[..., 0], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rate), dist.rate.numpy()[..., 0], atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("dur_scale", [8, 24])
+def test_length_regulator_parity(dur_scale):
+    """Integer-duration expansion, both under and over the T=250 budget
+    (reference truncates via negative F.pad, modules.py:384-388; we use a
+    static frame budget — same frames survive)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(6, K, D)).astype(np.float32)
+    x_noise = rng.uniform(0.1, 2.0, size=(6, K, 1)).astype(np.float32)
+    dur = rng.integers(1, dur_scale, size=(6, K)).astype(np.int64)
+
+    ref_out, ref_noise, _ = LR_T.LR(
+        torch.from_numpy(x),
+        torch.from_numpy(x_noise),
+        torch.from_numpy(dur),
+        max_length=T,
+    )
+    out, out_noise, valid = length_regulate(
+        jnp.asarray(x), jnp.asarray(dur.astype(np.int32)), T,
+        x_noise=jnp.asarray(x_noise),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_noise), ref_noise.numpy(), atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(valid.sum(axis=1)), np.minimum(dur.sum(axis=1), T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-path parity
+# ---------------------------------------------------------------------------
+
+
+def _torch_predict_deterministic(one_hot: np.ndarray, dwell_mean: float):
+    """The reference predict_step (model.py:195-251) composed from the real
+    reference modules: static dwell, no noise."""
+    data = torch.from_numpy(one_hot)
+    enc_out, emb_out = ENC_T(data)
+    noise_std = NOISE_T(emb_out)[:, :, None]
+    expanded, _, _, _, _ = LR_T(
+        emb_out=emb_out,
+        x=enc_out,
+        noise_std_prediction=noise_std,
+        target=None,
+        max_length=T,
+        dwell_mean=dwell_mean,
+        dwell_std=0.0,
+        duration_sampling=False,
+    )
+    pred = DEC_T(expanded) * CFG["scaling_max_value"]
+    pred = torch.clamp(pred.squeeze(-1), min=0)
+    return pred.numpy()  # (B, T)
+
+
+def _ours_predict_deterministic(one_hot: np.ndarray, dwell_mean: float):
+    enc, emb = encoder_forward(PARAMS, jnp.asarray(one_hot), CFG)
+    b = one_hot.shape[0]
+    dur = jnp.round(jnp.full((b, K), dwell_mean, jnp.float32)).astype(jnp.int32)
+    expanded, _, _ = length_regulate(enc, dur, T)
+    pred = decoder_forward(PARAMS, expanded, CFG)[..., 0]
+    pred = pred * CFG["scaling_max_value"]
+    return np.asarray(jnp.maximum(pred, 0.0))
+
+
+def test_full_deterministic_signal_parity():
+    """Same weights, static dwell 12.5 (rounds half-to-even to 12 on both
+    sides), no noise: the full (B, T) float signal grid must agree, and the
+    int16 digitisation (signal_io.py:134-138) must agree to <=1 count."""
+    one_hot = _rand_onehot(16, np.random.default_rng(8))
+    ref_sig = _torch_predict_deterministic(one_hot, dwell_mean=12.5)
+    our_sig = _ours_predict_deterministic(one_hot, dwell_mean=12.5)
+    np.testing.assert_allclose(our_sig, ref_sig, atol=1e-3)
+
+    dig, rng_, off = 2048.0, 281.345551, -127.5655735
+    ref_raw = np.round(ref_sig * dig / rng_ - off).astype(np.int16)
+    our_raw = np.round(our_sig * dig / rng_ - off).astype(np.int16)
+    assert np.abs(ref_raw.astype(np.int32) - our_raw.astype(np.int32)).max() <= 1
+    assert (ref_raw == our_raw).mean() > 0.999
+
+
+# ---------------------------------------------------------------------------
+# Sampled-path statistical parity (RNG streams differ by design)
+# ---------------------------------------------------------------------------
+
+
+def _ks_stat(a: np.ndarray, b: np.ndarray) -> float:
+    from scipy.stats import ks_2samp
+
+    return float(ks_2samp(a, b).statistic)
+
+
+def test_sampled_duration_distribution_parity():
+    """torch Gamma(conc, rate).sample() vs our fixed-round Marsaglia-Tsang
+    sampler, SAME (conc, rate) from the same weights: rounded integer dwell
+    distributions must agree (two-sample KS)."""
+    torch.manual_seed(11)
+    one_hot = _rand_onehot(256, np.random.default_rng(9))
+    data = torch.from_numpy(one_hot)
+    _, emb_out = ENC_T(data)
+
+    # reference: sample, clamp >=1, round (modules.py:221-223, 437-439)
+    out, _ = LR_T.duration_sampler(emb_out)
+    ref_dur = torch.round(torch.clamp(out, min=1.0)).numpy().ravel()
+
+    conc, rate = duration_gamma_params(PARAMS, jnp.asarray(emb_out.numpy()), CFG)
+    keys = per_chunk_keys(jax.random.key(17), jnp.arange(256, dtype=jnp.int32))
+    dur = sample_gamma_durations(keys, conc, rate)
+    our_dur = np.asarray(jnp.round(jnp.maximum(dur, 1.0))).ravel()
+
+    assert abs(ref_dur.mean() - our_dur.mean()) / ref_dur.mean() < 0.05
+    assert _ks_stat(ref_dur, our_dur) < 0.04
+
+
+def test_sampled_signal_statistics_parity():
+    """Full sampled path (duration sampling + per-k-mer amplitude noise) with
+    identical weights: event-level signal statistics must agree. This is the
+    offline proxy for basecall parity (VERDICT next-round #6)."""
+    torch.manual_seed(13)
+    one_hot = _rand_onehot(256, np.random.default_rng(10))
+    noise_std, min_noise, scale = 1.0, 0.0, CFG["scaling_max_value"]
+
+    # --- reference composition (model.py:195-251), real torch modules ---
+    data = torch.from_numpy(one_hot)
+    enc_out, emb_out = ENC_T(data)
+    nsp = NOISE_T(emb_out)[:, :, None]
+    expanded, _, _, nsp_ext, _ = LR_T(
+        emb_out=emb_out, x=enc_out, noise_std_prediction=nsp,
+        target=None, max_length=T, duration_sampling=True, min_length=1,
+    )
+    pred = (DEC_T(expanded) * scale).squeeze(-1)
+    nz = pred != 0
+    std = torch.clamp(nsp_ext, min=min_noise).squeeze(-1) * noise_std * scale
+    gen = torch.normal(mean=torch.zeros_like(std), std=std)
+    pred[nz] += gen[nz]
+    ref_sig = torch.clamp(pred, min=0).numpy()
+
+    # --- ours (runtime/predict.py semantics, internal composition) ---
+    enc, emb = encoder_forward(PARAMS, jnp.asarray(one_hot), CFG)
+    emb32 = emb.astype(jnp.float32)
+    nstd = noise_head(PARAMS, emb32, CFG)
+    conc, rate = duration_gamma_params(PARAMS, emb32, CFG)
+    keys = per_chunk_keys(jax.random.key(23), jnp.arange(256, dtype=jnp.int32))
+    dur = jnp.round(jnp.maximum(sample_gamma_durations(keys, conc, rate), 1.0))
+    expanded_j, noise_ext, _ = length_regulate(
+        enc, dur.astype(jnp.int32), T, x_noise=nstd[..., None]
+    )
+    pred_j = decoder_forward(PARAMS, expanded_j, CFG)[..., 0] * scale
+    nz_j = pred_j != 0.0
+    from seq2squiggle_tpu.sampling import sample_normal
+
+    nkeys = jax.vmap(lambda c: jax.random.fold_in(c, 2))(keys)
+    gauss = sample_normal(nkeys, (T,))
+    std_j = jnp.maximum(noise_ext[..., 0], min_noise) * noise_std * scale
+    our_sig = np.asarray(
+        jnp.maximum(jnp.where(nz_j, pred_j + gauss * std_j, pred_j), 0.0)
+    )
+
+    ref_nz = ref_sig[ref_sig != 0]
+    our_nz = our_sig[our_sig != 0]
+    assert abs(ref_nz.mean() - our_nz.mean()) / ref_nz.mean() < 0.02
+    assert abs(ref_nz.std() - our_nz.std()) / ref_nz.std() < 0.05
+    assert _ks_stat(ref_nz, our_nz) < 0.025
+    # dwell statistics: fraction of frames used per chunk
+    assert (
+        abs((ref_sig != 0).mean() - (our_sig != 0).mean()) < 0.02
+    )
