@@ -11,8 +11,12 @@ documented as best-effort since those wheels are absent here.
 Container layout:
     [signature "\\x8bPOD\\r\\n\\x1a\\n"] [16-byte section marker]
     per table: [Arrow IPC file bytes] [pad to 8] [section marker]
-    [footer flatbuffer] [pad to 8] [footer length int64] [section marker]
-    [signature]
+    [footer magic "FOOTER\\0\\0"] [footer flatbuffer] [pad to 8]
+    [footer length int64] [section marker] [signature]
+
+The footer magic matches pod5's combined_file_utils (an 8-byte
+"FOOTER\\0\\0" immediately before the footer flatbuffer); the trailing
+length counts the flatbuffer bytes only.
 
 The reference's POD5Writer (src/seq2squiggle/signal_io.py:175-282) delegates
 to the pod5 wheel and buffers all reads; writers.POD5Writer keeps that
@@ -32,6 +36,7 @@ import numpy as np
 logger = logging.getLogger("seq2squiggle_tpu")
 
 SIGNATURE = b"\x8bPOD\r\n\x1a\n"
+FOOTER_MAGIC = b"FOOTER\x00\x00"
 POD5_VERSION = "0.3.27"
 SOFTWARE = "seq2squiggle-tpu"
 
@@ -425,6 +430,7 @@ class Pod5NativeWriter:
                 fh.write(section_marker)
 
             footer = _build_footer(fid, contents)
+            fh.write(FOOTER_MAGIC)
             fh.write(footer)
             fh.write(b"\0" * ((-fh.tell()) % 8))
             fh.write(struct.pack("<q", len(footer)))
@@ -451,6 +457,9 @@ def read_pod5(path: str) -> dict:
     footer_end = tail - 8
     # footer bytes end at the pre-padding boundary
     footer_start = footer_end - ((-footer_len) % 8) - footer_len
+    assert data[footer_start - 8 : footer_start] == FOOTER_MAGIC, (
+        "bad POD5 footer magic"
+    )
     footer = _parse_footer(data[footer_start : footer_start + footer_len])
 
     tables = {}

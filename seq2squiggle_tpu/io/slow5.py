@@ -13,35 +13,40 @@ ASCII (.slow5):
     #<column name list>
     one TSV line per read; raw_signal is comma-separated int16 values.
 
-Binary (.blow5), little-endian throughout:
+Binary (.blow5), little-endian throughout (see docs/SLOW5_SPEC_NOTES.md for
+the spec-derivation notes and tests/test_slow5_goldens.py for the byte-level
+golden assertions):
     [0..5]   magic "BLOW5\\x01"
     [6..8]   version 0.2.0 (three uint8)
-    [9]      record compression: 0=none, 1=zlib
-    [10]     signal compression: 0=none, 1=svb-zd
+    [9]      record compression method (shared enum: 0=none, 1=zlib,
+             2=svb-zd, 3=zstd)
+    [10]     signal compression method (same enum; svb-zd = 2)
     [11..14] num_read_groups uint32
-    [15..63] zero padding
+    [15..63] zero padding (reserved)
     [64..67] header_size uint32 = byte length of the ASCII header block
     [68.. ]  ASCII header block (same text as .slow5 header, uncompressed)
-    records: [record_size uint32][record bytes, zlib-compressed if enabled]
+    records: [record_size uint32 = COMPRESSED byte length][record bytes,
+              compressed with the record method]
     EOF marker: "5WOLB"
 
     record bytes (uncompressed layout):
-      uint16 read_id_len; char read_id[];
+      uint16 read_id_len; char read_id[] (no NUL);
       uint32 read_group; double digitisation; double offset; double range;
-      double sampling_rate; uint64 len_raw_signal;
-      raw signal: int16[len] (signal compression none) or
-                  uint64 compressed_size; svb-zd bytes (signal compression 1)
-      aux fields in header order:
-        char* -> uint16 len + bytes; double/int32/uint8/uint64 -> fixed width.
+      double sampling_rate;
+      uint64 len_raw_signal: the NUMBER OF int16 SAMPLES when signal
+        compression is none, but the BYTE LENGTH of the compressed signal
+        blob when signal compression is enabled (slow5lib updates the field
+        to the sample count after decompression);
+      raw signal: int16[n] (no signal compression) or the compressed blob;
+        the svb-zd blob itself starts with a uint64 sample count followed
+        by the StreamVByte stream;
+      aux fields in header order: primitive types stored raw little-endian;
+        array types including char* stored as uint64 element count + data.
 
 svb-zd is StreamVByte over zig-zag-encoded first differences of the int16
 signal (the scheme slow5lib uses): a control stream of 2-bit
-bytes-per-value codes packed 4 values/byte, then the variable-length data
-stream.
-
-Note: the EOF marker and per-record framing follow the published spec to the
-best of this implementation's knowledge; files round-trip through the reader
-in this module, which is the contract the test suite enforces.
+bytes-per-value codes packed 4 values/byte (first value in the low bits),
+then the variable-length little-endian data stream.
 """
 
 from __future__ import annotations
@@ -61,12 +66,17 @@ _MAGIC = b"BLOW5\x01"
 _EOF = b"5WOLB"
 _HEADER_SIZE_OFFSET = 64
 
-# Record compression codes
+# Compression method codes — ONE shared enum for both the record and the
+# signal method bytes (slow5lib slow5_press_method): 0=none, 1=zlib,
+# 2=svb-zd, 3=zstd. Round-1 wrote svb-zd as 1, which slow5lib would parse
+# as zlib signal compression; fixed to the spec value.
 PRESS_NONE = 0
 PRESS_ZLIB = 1
-# Signal compression codes
-SIGPRESS_NONE = 0
-SIGPRESS_SVB_ZD = 1
+PRESS_SVB_ZD = 2
+PRESS_ZSTD = 3
+# Aliases for the signal-method byte (same enum).
+SIGPRESS_NONE = PRESS_NONE
+SIGPRESS_SVB_ZD = PRESS_SVB_ZD
 
 # Primary columns (type, name) in spec order.
 _PRIMARY = [
@@ -236,15 +246,20 @@ def _encode_record(
         )
     )
     sig = np.ascontiguousarray(signal, dtype="<i2")
-    parts.append(struct.pack("<Q", len(sig)))
     if signal_press == SIGPRESS_SVB_ZD:
-        comp = svb_zd_encode_signal(sig)
-        parts.append(struct.pack("<Q", len(comp)))
-        parts.append(comp)
+        # Compressed blob = uint64 sample count + StreamVByte stream;
+        # len_raw_signal holds the BYTE length of that blob (slow5lib
+        # semantics — it rewrites the field to the sample count only after
+        # decompression).
+        blob = struct.pack("<Q", len(sig)) + svb_zd_encode_signal(sig)
+        parts.append(struct.pack("<Q", len(blob)))
+        parts.append(blob)
     else:
+        parts.append(struct.pack("<Q", len(sig)))
         parts.append(sig.tobytes())
+    # Aux array types (char* included) carry a uint64 element count.
     chan = str(aux["channel_number"]).encode("ascii")
-    parts.append(struct.pack("<H", len(chan)))
+    parts.append(struct.pack("<Q", len(chan)))
     parts.append(chan)
     parts.append(
         struct.pack(
@@ -266,18 +281,19 @@ def _decode_record(buf: bytes, signal_press: int) -> dict:
     off += rid_len
     read_group, dig, offs, rng, rate = struct.unpack_from("<Idddd", buf, off)
     off += 4 + 8 * 4
-    (n_sig,) = struct.unpack_from("<Q", buf, off)
+    (len_raw,) = struct.unpack_from("<Q", buf, off)
     off += 8
     if signal_press == SIGPRESS_SVB_ZD:
-        (comp_len,) = struct.unpack_from("<Q", buf, off)
-        off += 8
-        signal = svb_zd_decode_signal(buf[off : off + comp_len], n_sig)
-        off += comp_len
+        # len_raw is the blob byte length; the blob leads with the count.
+        (n_sig,) = struct.unpack_from("<Q", buf, off)
+        signal = svb_zd_decode_signal(buf[off + 8 : off + len_raw], n_sig)
+        off += len_raw
     else:
+        n_sig = len_raw
         signal = np.frombuffer(buf, "<i2", count=n_sig, offset=off).copy()
         off += 2 * n_sig
-    (chan_len,) = struct.unpack_from("<H", buf, off)
-    off += 2
+    (chan_len,) = struct.unpack_from("<Q", buf, off)
+    off += 8
     channel_number = buf[off : off + chan_len].decode("ascii")
     off += chan_len
     median_before, read_number, start_mux, start_time = struct.unpack_from(
@@ -298,6 +314,43 @@ def _decode_record(buf: bytes, signal_press: int) -> dict:
         "start_mux": start_mux,
         "start_time": start_time,
     }
+
+
+def _press_record(rec: bytes, method: int) -> bytes:
+    if method == PRESS_ZLIB:
+        lib = _native()
+        if lib is not None and rec:
+            import ctypes
+
+            cap = lib.zlib_compress_bound(len(rec))
+            out = np.empty(cap, np.uint8)
+            src = np.frombuffer(rec, np.uint8)
+            n = lib.zlib_compress_buf(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(rec),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap, 1,
+            )
+            if n:
+                return out[:n].tobytes()
+        return zlib.compress(rec, 1)
+    if method == PRESS_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=1).compress(rec)
+    if method == PRESS_NONE:
+        return rec
+    raise ValueError(f"unsupported record compression method {method}")
+
+
+def _depress_record(rec: bytes, method: int) -> bytes:
+    if method == PRESS_ZLIB:
+        return zlib.decompress(rec)
+    if method == PRESS_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(rec)
+    if method == PRESS_NONE:
+        return rec
+    raise ValueError(f"unsupported record compression method {method}")
 
 
 def _header_text(header_attrs: Dict[str, object]) -> str:
@@ -380,8 +433,7 @@ class Slow5FileWriter:
                 read_id, signal, digitisation, offset, range_val,
                 sampling_rate, aux, self.signal_press,
             )
-            if self.record_press == PRESS_ZLIB:
-                rec = zlib.compress(rec, 1)
+            rec = _press_record(rec, self.record_press)
             self._fh.write(struct.pack("<I", len(rec)))
             self._fh.write(rec)
         else:
@@ -482,9 +534,8 @@ def _read_blow5(path: str):
         off += 4
         rec = data[off : off + size]
         off += size
-        if record_press == PRESS_ZLIB:
-            rec = zlib.decompress(rec)
-        records.append(_decode_record(rec, signal_press))
+        records.append(_decode_record(_depress_record(rec, record_press),
+                                      signal_press))
     return attrs, records
 
 
