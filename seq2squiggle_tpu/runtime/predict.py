@@ -56,20 +56,28 @@ class PredictKnobs:
     digitisation: float = 2048.0
     signal_range: float = 281.345551
     offset_mean: float = -127.5655735
-    # device->host wire format: int8 deltas + sparse exact exceptions
-    # (1.36x fewer bytes than raw int16; the D2H link dominates the loop).
-    # Only profitable for low-noise signals: Gaussian amplitude noise makes
-    # most first-differences exceed int8, so simulate_run enables this for
-    # ideal (noise-free) runs and the overflow fallback covers the rest.
-    wire_packed: bool = False
+    # Device->host wire width for the first-difference stream: 16 = raw
+    # int16 rows, 8 = int8 deltas (330 B/row vs 504 raw, 1.53x), 12 =
+    # 12-bit deltas packed two-per-three-bytes (395 B/row, 1.28x). The D2H
+    # link is the measured loop bottleneck, so fewer bytes = faster runs.
+    # Which tier is lossless depends on the amplitude-noise scale the
+    # weights predict: delta sigma in ADC counts is
+    # sqrt(2) * noise_stdev_pA * digitisation/range. int8 covers ~4 sigma
+    # of 2-3 pA noise (typical trained models); 12-bit covers +-2047, i.e.
+    # >13 sigma of even the 15 pA the round-1 demo weights predict.
+    # simulate_run starts at 8 and downgrades 8 -> 12 -> 16 on the first
+    # per-row exception overflow (recomputing the affected batch raw), so
+    # every run settles on the narrowest lossless format by itself.
+    wire_bits: int = 16
 
 
-# Exception slots per row for the packed wire format. Structurally, only
-# k-mer boundaries (<=15) and the first sample can produce first-differences
-# outside int8 (within-k-mer jumps need a >5-sigma amplitude-noise step);
-# 24 leaves headroom, and the kernel reports the true max so the host can
-# assert losslessness.
-WIRE_EXC_SLOTS = 24
+# Exception slots per row for the packed wire formats. For int8 deltas,
+# k-mer boundaries (<=15 per chunk) plus the first sample are the only
+# structural out-of-range producers; 24 leaves noise headroom. For 12-bit
+# deltas +-2047 exceeds any physical signal jump, so 4 slots is pure
+# paranoia. The kernel reports the true per-row count so the host can
+# verify losslessness and downgrade tiers when exceeded.
+WIRE_EXC_SLOTS = {8: 24, 12: 4}
 
 
 def _compute_durations(
@@ -178,19 +186,26 @@ def predict_step(
         (drop_key, signal_raw), dimension=-1, is_stable=True, num_keys=1
     )
     counts = jnp.sum(keep, axis=1).astype(jnp.int32)
-    if not knobs.wire_packed:
+    if knobs.wire_bits == 16:
         return signal_compact, counts
-    return _pack_wire(signal_compact, counts) + (counts,)
+    return _pack_wire(signal_compact, counts, knobs.wire_bits) + (counts,)
 
 
-def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray):
-    """Pack (B, T) int16 front-compacted signal into int8 first-differences
+def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray, bits: int):
+    """Pack (B, T) int16 front-compacted signal into narrow first-differences
     plus sparse exact exceptions.
 
-    Returns (lo (B,T) int8, exc_pos (B,E) uint8, exc_val (B,E) int32,
-    n_exc (B,) int32). Decode: runtime/wire.py unpack_wire. n_exc lets the
-    host verify no row overflowed the exception slots (lossless guarantee);
-    it is per-row so every output shards cleanly over the 'dp' mesh axis.
+    bits=8:  delta stream is (B, T) int8 (clip +-127).
+    bits=12: delta stream is (B, T*3/2) uint8 — deltas biased by 2048 into
+             12-bit fields, two values per three bytes (clip +-2047..2048).
+
+    Returns (stream, exc_pos (B,E) uint8, exc_val (B,E) int16, n_exc (B,)
+    int32). Decode: runtime/wire.py unpack_wire. n_exc lets the host verify
+    no row overflowed the exception slots (lossless guarantee); it is
+    per-row so every output shards cleanly over the 'dp' mesh axis.
+    Residuals outside int16 (only possible for near-full-range sample
+    jumps) are folded into n_exc as an overflow so the host recomputes that
+    batch raw — packing stays lossless by construction.
     """
     B, T = signal_compact.shape
     pos = jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -198,9 +213,25 @@ def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray):
     d = jnp.diff(s, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
     d = jnp.where(pos < counts[:, None], d, 0)
 
-    lo = jnp.clip(d, -127, 127)
+    if bits == 8:
+        lo = jnp.clip(d, -127, 127)
+        stream = lo.astype(jnp.int8)
+    elif bits == 12:
+        assert T % 2 == 0, "12-bit packing needs an even frame budget"
+        lo = jnp.clip(d, -2048, 2047)
+        u = (lo + 2048).astype(jnp.uint32)  # 12-bit biased fields
+        u0 = u[:, 0::2]
+        u1 = u[:, 1::2]
+        b0 = u0 & 0xFF
+        b1 = (u0 >> 8) | ((u1 & 0xF) << 4)
+        b2 = u1 >> 4
+        stream = jnp.stack([b0, b1, b2], axis=-1).reshape(B, (T // 2) * 3)
+        stream = stream.astype(jnp.uint8)
+    else:
+        raise ValueError(f"unsupported wire_bits {bits}")
     resid = d - lo  # exact correction, 0 for in-range deltas
     over = resid != 0
+    resid_fits = (resid >= -32768) & (resid <= 32767)
 
     # Front-pack (position, residual) of the exceptions via stable sort.
     sort_key = (~over).astype(jnp.int8)
@@ -208,11 +239,14 @@ def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray):
         (sort_key, jnp.broadcast_to(pos, (B, T)), resid),
         dimension=-1, is_stable=True, num_keys=1,
     )
-    E = WIRE_EXC_SLOTS
+    E = WIRE_EXC_SLOTS[bits]
     exc_pos = pos_sorted[:, :E].astype(jnp.uint8)
-    exc_val = resid_sorted[:, :E]  # slots past the true count are exact zeros
+    # int16 wire width; rows whose residuals don't fit are flagged below.
+    exc_val = resid_sorted[:, :E].astype(jnp.int16)
     n_exc = jnp.sum(over, axis=1).astype(jnp.int32)
-    return lo.astype(jnp.int8), exc_pos, exc_val, n_exc
+    row_bad = jnp.any(~resid_fits, axis=1)
+    n_exc = n_exc + jnp.where(row_bad, jnp.int32(1 << 20), jnp.int32(0))
+    return stream, exc_pos, exc_val, n_exc
 
 
 def make_predict_fn(config: dict, knobs: PredictKnobs):
@@ -232,7 +266,7 @@ def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh):
     from jax.sharding import PartitionSpec as P
 
     step = functools.partial(predict_step, config=dict(config), knobs=knobs)
-    n_out = 5 if knobs.wire_packed else 2
+    n_out = 5 if knobs.wire_bits != 16 else 2
     sharded = jax.shard_map(
         step,
         mesh=mesh,

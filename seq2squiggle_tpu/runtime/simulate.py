@@ -159,9 +159,12 @@ def simulate_run(
         digitisation=float(profile_dict["digitisation"]),
         signal_range=float(profile_dict["range"]),
         offset_mean=float(profile_dict["offset_mean"]),
-        # int8-delta packing only wins when amplitude noise is off; noisy
-        # signals overflow it (handled by the raw fallback, but pointless).
-        wire_packed=(noise_std <= 0),
+        # Start at the narrowest packed wire tier; drain() downgrades
+        # 8 -> 12 -> 16 on the first exception overflow (recomputing the
+        # affected batch raw), so every run self-selects the narrowest
+        # LOSSLESS format for its weights/noise scale (see
+        # PredictKnobs.wire_bits).
+        wire_bits=8,
     )
     # Device-level data parallelism: with multiple local chips, shard the
     # chunk batch over a 1-D 'dp' mesh (replicated params, zero inner-loop
@@ -203,10 +206,21 @@ def simulate_run(
         reads = _sharded()
         total_chunks = total_chunks // num_shards
         read_idx_start, read_idx_step = shard_index, num_shards
+        # Writers number reads by GLOBAL index so indexed UUIDs and
+        # read_numbers never collide when shard files are merged.
+        writer.read_index_start = read_idx_start
+        writer.read_index_step = read_idx_step
 
     device = _batch_sharding if device_dp else devices[0]
     params = jax.device_put(params, _param_sharding if device_dp else device)
 
+    # Streaming writers (BLOW5/SLOW5) get a background export thread so
+    # record encode/compress/write overlaps device compute and D2H; POD5
+    # buffers until finalize anyway, so a thread would add nothing.
+    if export_every_n_samples != float("inf"):
+        from .async_writer import AsyncWriter
+
+        writer = AsyncWriter(writer)
     exporter = StreamingExporter(writer, export_every_n_samples)
 
     progress = None
@@ -231,10 +245,10 @@ def simulate_run(
 
     state = {"knobs": knobs, "predict_fn": predict_fn, "raw_fn": None}
 
-    def dataclasses_replace_wire(k):
+    def dataclasses_replace_wire(k, bits=16):
         import dataclasses
 
-        return dataclasses.replace(k, wire_packed=False)
+        return dataclasses.replace(k, wire_bits=bits)
 
     def build_predict_fn(k):
         """Rebuild the (possibly device-sharded) predict fn for knobs k."""
@@ -257,7 +271,7 @@ def simulate_run(
         )
 
     def drain(entry):
-        outs, batch = entry
+        outs, batch, bits = entry
         segments = batch.segments
         if len(outs) == 5:  # packed wire format
             from .wire import unpack_wire
@@ -266,17 +280,29 @@ def simulate_run(
             try:
                 signal_np = unpack_wire(
                     np.asarray(lo), np.asarray(exc_pos), np.asarray(exc_val),
-                    np.asarray(n_exc),
+                    np.asarray(n_exc), bits=bits,
                 )
             except RuntimeError as exc:
-                # Extreme per-sample jumps (e.g. untrained weights) can
-                # overflow the exception slots; recompute this batch raw and
-                # stop packing for the rest of the run. Lossless either way.
-                logger.warning(f"{exc} — switching to raw wire format.")
+                # The current tier can't hold this weights/noise regime's
+                # deltas: recompute this batch raw and downgrade the run's
+                # wire format one tier (8 -> 12 -> raw). Lossless either
+                # way; already-dispatched batches decode with the tier
+                # recorded at dispatch time.
                 signal_dev, counts_dev = _raw_recompute(batch)
                 signal_np = np.asarray(signal_dev)
-                state["knobs"] = dataclasses_replace_wire(state["knobs"])
-                state["predict_fn"] = state["raw_fn"]
+                if bits == state["knobs"].wire_bits:
+                    next_bits = 12 if bits == 8 else 16
+                    logger.warning(
+                        f"{exc} — downgrading wire format to "
+                        f"{'raw int16' if next_bits == 16 else f'{next_bits}-bit deltas'}."
+                    )
+                    state["knobs"] = dataclasses_replace_wire(
+                        state["knobs"], next_bits
+                    )
+                    state["predict_fn"] = (
+                        state["raw_fn"] if next_bits == 16
+                        else build_predict_fn(state["knobs"])
+                    )
         else:
             signal_dev, counts_dev = outs
             signal_np = np.asarray(signal_dev)
@@ -318,7 +344,7 @@ def simulate_run(
         # compute (D2H over the interconnect is the measured bottleneck).
         for o in outs:
             o.copy_to_host_async()
-        pending.append((outs, batch))
+        pending.append((outs, batch, state["knobs"].wire_bits))
         if len(pending) >= pipeline_depth:
             drain(pending.pop(0))
     for entry in pending:

@@ -43,7 +43,7 @@ def test_simulated_dwell_matches_duration_head(setup):
     not add or drop samples."""
     params, cfg, batch = setup
     knobs = PredictKnobs(noise_std=0.0, duration_sampling=True,
-                         min_duration=3, wire_packed=False)
+                         min_duration=3, wire_bits=16)
     fn = make_predict_fn(cfg, knobs)
     key = jax.random.key(7)
     sig, counts = fn(params, batch.codes, batch.read_idx, batch.chunk_off, key)
@@ -76,7 +76,7 @@ def test_simulated_current_matches_decoder(setup):
     decoder's output scaled by scaling_max_value and digitised."""
     params, cfg, batch = setup
     knobs = PredictKnobs(noise_std=0.0, duration_sampling=False,
-                         dwell_mean=10.0, dwell_std=0.0, wire_packed=False)
+                         dwell_mean=10.0, dwell_std=0.0, wire_bits=16)
     fn = make_predict_fn(cfg, knobs)
     key = jax.random.key(8)
     sig, counts = fn(params, batch.codes, batch.read_idx, batch.chunk_off, key)

@@ -49,7 +49,7 @@ def test_dp_predict_matches_single_device():
 
     cfg = _cfg()
     params = init_params(cfg, jax.random.key(0))
-    knobs = PredictKnobs(wire_packed=False)
+    knobs = PredictKnobs(wire_bits=16)
     fn = make_predict_fn(cfg, knobs)
 
     B = 64
