@@ -9,6 +9,7 @@ hidden "advanced" predict flags revealed by --show-advanced-options.
 from __future__ import annotations
 
 import logging
+import os
 import pathlib
 
 import click
@@ -206,6 +207,24 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
     cfg = load_config(config)
     resolved_seed = set_seeds(seed)
 
+    # Multi-host: each process simulates its round-robin read shard (zero
+    # cross-host communication; RNG keys derive from global read indices so
+    # the union of shard outputs is bit-identical to a single-host run)
+    # and writes its own output file.
+    from .parallel.distributed import maybe_init_distributed
+
+    if maybe_init_distributed() and num_shards == 1:
+        import jax
+
+        num_shards = jax.process_count()
+        shard_index = jax.process_index()
+        root, ext = os.path.splitext(out)
+        out = f"{root}.shard{shard_index}{ext}"
+        logger.info(
+            f"Multi-host predict: process {shard_index}/{num_shards} "
+            f"writing {out}"
+        )
+
     from .runtime.simulate import simulate_run
 
     simulate_run(
@@ -297,8 +316,12 @@ def preprocess(events_path, outdir, no_batches, chunksize, partition_by, rna,
 @click.option("--resume", is_flag=True, default=False, show_default=True,
               help="Resume from the train_state.pkl next to the model path "
               "(restores optimizer state and epoch).")
-def train(train_dir, valid_dir, save_valid_plots, resume, seed, model, config,
-          verbosity):
+@click.option("--tp", "tensor_parallel", type=int, default=None,
+              help="Tensor-parallel degree over the ('dp','tp') device mesh "
+              "(shards FFN hidden dim and attention heads; devices/tp become "
+              "data-parallel). Default 1 (config key: tensor_parallel).")
+def train(train_dir, valid_dir, save_valid_plots, resume, tensor_parallel,
+          seed, model, config, verbosity):
     """Train the model with preprocessed .npy chunks.
 
     TRAIN_DIR must contain the .npy files from the preprocess command.
@@ -308,6 +331,13 @@ def train(train_dir, valid_dir, save_valid_plots, resume, seed, model, config,
     logger.info("seq2squiggle-tpu version %s", __version__)
     resolved_seed = set_seeds(seed)
     cfg = load_config(config)
+    if tensor_parallel is not None:
+        cfg["tensor_parallel"] = int(tensor_parallel)
+    # Multi-host training: the mesh spans all global devices; loop.py feeds
+    # per-process batch slabs and only process 0 writes checkpoints.
+    from .parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed()
     logger.info("Config parameters:")
     for key in cfg:
         logger.info(f" {key}: {cfg[key]}")

@@ -58,6 +58,7 @@ DEFAULT_CONFIG: dict = {
     "compute_dtype": "bfloat16",  # bfloat16 | float32 — inner-loop matmul dtype
     "use_pallas": "auto",  # auto | true | false — fused TPU attention blocks
     "random_seed": 42,  # used for file-level train/valid splits
+    "tensor_parallel": 1,  # 'tp' mesh degree for training (CLI: train --tp)
 }
 
 
@@ -110,6 +111,7 @@ def check_model_config(model_config: dict, config: dict) -> None:
         "compute_dtype",
         "use_pallas",
         "random_seed",
+        "tensor_parallel",
     }
     for param, value in config.items():
         if param in exclude_params:

@@ -63,9 +63,17 @@ class _WriterBase:
         self.signal_range = float(profile["range"])
         self.sample_rate = float(profile["sample_rate"])
         self.start_time = 0
-        self.read_counter = 0  # persists across flushes
+        self.read_counter = 0  # local reads written; persists across flushes
+        # Round-robin read sharding (multi-process / multi-host runs): the
+        # n-th read this writer sees has GLOBAL index start + n*step, so
+        # indexed UUIDs and read_numbers never collide across shard files.
+        self.read_index_start = 0
+        self.read_index_step = 1
         self.rng = rng if rng is not None else np.random.default_rng()
         self.is_rna = profile_name.startswith("rna")
+
+    def _global_read_index(self) -> int:
+        return self.read_index_start + self.read_counter * self.read_index_step
 
     def _per_read_metadata(self):
         if self.ideal_mode:
@@ -87,7 +95,7 @@ class _WriterBase:
     def _read_id(self, read_id: str) -> str:
         if self.preserve_read_ids:
             return str(read_id)
-        return str(indexed_uuid(self.read_counter + 1))
+        return str(indexed_uuid(self._global_read_index() + 1))
 
     def save(self):
         """Reference-compatible entry point: consume self.signals and write."""
@@ -139,7 +147,7 @@ class BLOW5Writer(_WriterBase):
             aux = {
                 "channel_number": "0",
                 "median_before": median_before_value,
-                "read_number": self.read_counter,
+                "read_number": self._global_read_index(),
                 "start_mux": 0,
                 "start_time": self.start_time,
             }
@@ -194,12 +202,12 @@ class POD5Writer(_WriterBase):
             if self.preserve_read_ids:
                 rid = uuid.uuid5(uuid.NAMESPACE_DNS, str(read_id))
             else:
-                rid = indexed_uuid(self.read_counter + 1)
+                rid = indexed_uuid(self._global_read_index() + 1)
             self._pending.append(
                 dict(
                     read_id=rid,
                     offset=offset_value,
-                    read_number=self.read_counter,
+                    read_number=self._global_read_index(),
                     median_before=median_before_value,
                     signal=raw,
                 )

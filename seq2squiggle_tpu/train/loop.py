@@ -205,16 +205,40 @@ def train_run(
 
     optimizer = build_optimizer(config, total_steps)
 
-    # Multi-device data parallelism: replicate params, shard batches over a
-    # 1-D 'dp' mesh; XLA inserts the gradient all-reduce from the shardings.
+    # Multi-device parallelism over a ('dp','tp') mesh: batches shard over
+    # 'dp' (XLA inserts the gradient all-reduce from the shardings); with
+    # tensor_parallel > 1 (CLI: train --tp) the FFN hidden dim and the
+    # attention heads additionally shard over 'tp' (column/row-parallel,
+    # XLA inserts the psum after the row-parallel matmuls).
     mesh = None
-    if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
-        from ..parallel.mesh import batch_sharding, make_mesh, replicated
+    place_params = lambda p: p  # noqa: E731
+    n_dev = jax.device_count()
+    n_tp = max(1, int(config.get("tensor_parallel", 1)))
+    if n_tp > 1 and n_dev % n_tp != 0:
+        raise ValueError(
+            f"tensor_parallel={n_tp} does not divide the device count {n_dev}"
+        )
+    n_dp = n_dev // n_tp
+    if n_dev > 1 and n_dp >= 1 and batch_size % max(n_dp, 1) == 0:
+        from ..parallel.mesh import (
+            batch_sharding, make_mesh, replicated, shard_params,
+        )
 
-        mesh = make_mesh(n_dp=jax.device_count(), n_tp=1)
-        logger.info(f"Data-parallel training over {jax.device_count()} devices")
-        params = jax.device_put(params, replicated(mesh))
+        mesh = make_mesh(n_dp=n_dp, n_tp=n_tp)
+        logger.info(
+            f"Training over {n_dev} devices (dp={n_dp}, tp={n_tp})"
+        )
+        if n_tp > 1:
+            place_params = lambda p: shard_params(p, mesh)  # noqa: E731
+        else:
+            place_params = lambda p: jax.device_put(p, replicated(mesh))  # noqa: E731
+        params = place_params(params)
         _bsh = batch_sharding(mesh)
+    elif n_tp > 1:
+        logger.warning(
+            f"tensor_parallel={n_tp} requested but only {n_dev} device(s) "
+            "available or batch not divisible; running unsharded."
+        )
 
     opt_state = optimizer.init(params)
     start_epoch = 0
@@ -223,7 +247,7 @@ def train_run(
         # Mid-training resume with optimizer state (beyond the reference's
         # weights-only checkpoints).
         saved = load_train_state(state_path)
-        params = saved["params"]
+        params = place_params(saved["params"])
         opt_state = jax.tree_util.tree_map(
             lambda ref, new: np.asarray(new), opt_state, saved["opt_state"]
         )
@@ -236,13 +260,26 @@ def train_run(
     train_step = make_train_step(config, optimizer)
     valid_step = make_valid_step(config)
 
+    n_proc = jax.process_count()
+    is_primary = jax.process_index() == 0
+
     def place_batch(batch, mask):
         if mesh is None:
             return batch, jnp.asarray(mask)
-        return (
-            {k: jax.device_put(v, _bsh) for k, v in batch.items()},
-            jax.device_put(mask, _bsh),
-        )
+        if n_proc > 1:
+            # Multi-host: every process computes the identical global batch
+            # (same shuffle seed); each contributes the slab its local
+            # devices own on the 'dp' axis. No data ever crosses hosts.
+            pid = jax.process_index()
+            rows = slice(
+                pid * batch_size // n_proc, (pid + 1) * batch_size // n_proc
+            )
+            put = lambda v: jax.make_array_from_process_local_data(  # noqa: E731
+                _bsh, np.asarray(v)[rows]
+            )
+        else:
+            put = lambda v: jax.device_put(v, _bsh)  # noqa: E731
+        return {k: put(v) for k, v in batch.items()}, put(mask)
 
     metrics_log = MetricsLogger(log_dir, config)
     rng = np.random.default_rng(seed)
@@ -264,7 +301,8 @@ def train_run(
             if step % 100 == 0:
                 host = {f"train_{k}": float(v) for k, v in metrics.items()}
                 host["lr_epoch"] = epoch
-                metrics_log.log(host, step=step)
+                if is_primary:
+                    metrics_log.log(host, step=step)
                 last_metrics = host
             step += 1
 
@@ -282,14 +320,15 @@ def train_run(
             n_val += 1
         if n_val:
             val_metrics = {f"valid_{k}": v / n_val for k, v in val_accum.items()}
-            metrics_log.log(val_metrics, step=step)
+            if is_primary:
+                metrics_log.log(val_metrics, step=step)
             last_metrics.update(val_metrics)
             logger.info(
                 f"epoch {epoch}: "
                 + ", ".join(f"{k}={v:.5f}" for k, v in val_metrics.items())
             )
 
-        if save_valid_plots and first_batch is not None:
+        if save_valid_plots and first_batch is not None and is_primary:
             try:
                 from .plots import generate_validation_plots
 
@@ -302,15 +341,31 @@ def train_run(
 
         # ---- checkpoints: weights-only npz per epoch (save_top_k=-1) ----
         if config.get("save_model", True):
-            epoch_path = os.path.join(log_dir, f"{ckpt_name}-epoch{epoch}.npz")
-            save_native_checkpoint(epoch_path, params, config)
-            save_native_checkpoint(
-                os.path.join(log_dir, f"{ckpt_name}.npz"), params, config
-            )
-            _save_train_state(
-                os.path.join(log_dir, "train_state.pkl"), params, opt_state,
-                epoch,
-            )
+            ckpt_params, ckpt_opt = params, opt_state
+            if n_proc > 1:
+                # Collective gather on EVERY process (p0-only would
+                # deadlock); p0 alone writes the files below.
+                from jax.experimental import multihost_utils
+
+                ckpt_params = multihost_utils.process_allgather(
+                    params, tiled=True
+                )
+                ckpt_opt = multihost_utils.process_allgather(
+                    opt_state, tiled=True
+                )
+            if is_primary:
+                epoch_path = os.path.join(
+                    log_dir, f"{ckpt_name}-epoch{epoch}.npz"
+                )
+                save_native_checkpoint(epoch_path, ckpt_params, config)
+                save_native_checkpoint(
+                    os.path.join(log_dir, f"{ckpt_name}.npz"), ckpt_params,
+                    config,
+                )
+                _save_train_state(
+                    os.path.join(log_dir, "train_state.pkl"), ckpt_params,
+                    ckpt_opt, epoch,
+                )
 
     metrics_log.close()
     logger.info("Training finished.")

@@ -40,3 +40,29 @@ def test_device_dp_matches_single_device(tmp_path):
     assert len(r1) == len(r2) == 7
     for a, b in zip(r1, r2):
         np.testing.assert_array_equal(a["signal"], b["signal"])
+
+
+def test_sharded_indexed_read_ids_are_global(tmp_path):
+    """Without --preserve-read-ids, indexed UUIDs must number reads by
+    GLOBAL read index: shard files merged together must reproduce the
+    unsharded run's (read_id -> signal) mapping with no collisions
+    (round-2 regression: per-writer counters restarted at 0 per shard)."""
+    from test_e2e import _run
+
+    _run(tmp_path / "all.slow5")
+    _run(tmp_path / "s0.slow5", num_shards=2, shard_index=0)
+    _run(tmp_path / "s1.slow5", num_shards=2, shard_index=1)
+
+    def by_id(path):
+        _, recs = read_slow5(path)
+        return {r["read_id"]: (r["signal"], r["read_number"]) for r in recs}
+
+    full = by_id(tmp_path / "all.slow5")
+    s0 = by_id(tmp_path / "s0.slow5")
+    s1 = by_id(tmp_path / "s1.slow5")
+    assert not (set(s0) & set(s1)), "read-id collision across shards"
+    sharded = {**s0, **s1}
+    assert set(full) == set(sharded)
+    for read_id, (signal, read_number) in full.items():
+        np.testing.assert_array_equal(signal, sharded[read_id][0])
+        assert read_number == sharded[read_id][1]
