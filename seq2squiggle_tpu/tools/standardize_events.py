@@ -40,7 +40,7 @@ def _transform_chunk(df: pd.DataFrame, pa_mean: float, pa_std: float,
 
     samples = df["samples"].astype(str)
     counts = (samples.str.count(",") + 1).to_numpy(np.int64)
-    flat = np.fromstring(samples.str.cat(sep=","), dtype=np.float64, sep=",")
+    flat = np.array(samples.str.cat(sep=",").split(","), dtype=np.float64)
     flat = flat * pa_std + pa_mean
 
     ends = np.cumsum(counts)

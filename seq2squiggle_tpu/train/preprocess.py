@@ -55,7 +55,7 @@ def _split_samples_column(samples: pd.Series, reverse: bool) -> Tuple[np.ndarray
     # Parse once as a single giant CSV buffer (C-speed), then reverse each
     # event's span in-place for RNA.
     joined = samples.str.cat(sep=",")
-    flat = np.fromstring(joined, dtype=np.float32, sep=",")
+    flat = np.array(joined.split(","), dtype=np.float32)
     if reverse:
         cum = np.cumsum(counts)
         starts = cum - counts
