@@ -77,8 +77,6 @@ def load_native() -> Optional[ctypes.CDLL]:
                                           ctypes.c_int]
         lib.zlib_compress_bound.restype = size_t
         lib.zlib_compress_bound.argtypes = [size_t]
-        lib.zlib_decompress_buf.restype = size_t
-        lib.zlib_decompress_buf.argtypes = [u8p, size_t, u8p, size_t]
         _LIB = lib
         logger.debug(f"native codec loaded: {path}")
         return _LIB

@@ -75,11 +75,4 @@ size_t zlib_compress_buf(const uint8_t* in, size_t n, uint8_t* out,
 
 size_t zlib_compress_bound(size_t n) { return (size_t)compressBound((uLong)n); }
 
-size_t zlib_decompress_buf(const uint8_t* in, size_t n, uint8_t* out,
-                           size_t cap) {
-  uLongf out_len = (uLongf)cap;
-  if (uncompress(out, &out_len, in, (uLong)n) != Z_OK) return 0;
-  return (size_t)out_len;
-}
-
 }  // extern "C"
