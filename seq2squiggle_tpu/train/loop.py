@@ -170,6 +170,7 @@ def train_run(
     seed: int = 42,
     max_steps_per_epoch: Optional[int] = None,
     resume: bool = False,
+    init_params_override: Optional[dict] = None,
 ) -> dict:
     """Train a model; returns final metrics. Checkpoints land next to
     model_path (or ./logs-<log_name>/ like the reference, train.py:64-70)."""
@@ -183,7 +184,11 @@ def train_run(
         logger.info(f"Model path not specified. Saving to {log_dir}/{ckpt_name}.npz")
     os.makedirs(log_dir, exist_ok=True)
 
-    params = init_params(config, jax.random.key(seed))
+    params = (
+        init_params_override
+        if init_params_override is not None
+        else init_params(config, jax.random.key(seed))
+    )
     logger.info(f"Total Trainable Params: {count_params(params):,}")
 
     train_files, valid_files = load_file_groups(

@@ -104,13 +104,12 @@ def test_packed_predict_matches_raw(bits):
     np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
 
 
-def test_noisy_12bit_lossless_with_trained_weights():
-    """VERDICT round-1 weak #1: measure, don't assume. The round-1 demo
-    weights predict ~15 pA amplitude noise (delta sigma ~157 ADC counts),
-    which CANNOT fit int8 deltas (measured: >100 exceptions/row); the
-    12-bit tier holds it with zero slot overflow and byte-equals the raw
-    format. simulate_run's 8 -> 12 downgrade reaches this state
-    automatically."""
+def test_noisy_packed_lossless_with_trained_weights():
+    """VERDICT round-1 weak #1: measure, don't assume. The demo weights
+    predict ~1.9 pA amplitude noise (delta sigma ~19.5 ADC counts; int8
+    +-127 is a 6.5-sigma envelope), so the NARROWEST tier must hold noisy
+    batches within its exception budget and byte-equal the raw format —
+    the production bench therefore ships int8 deltas, noise included."""
     import pathlib
 
     from seq2squiggle_tpu.models.torch_import import load_native_checkpoint
@@ -131,12 +130,14 @@ def test_noisy_12bit_lossless_with_trained_weights():
     fn_raw = make_predict_fn(cfg, PredictKnobs(wire_bits=16, **knobs))
     sig_raw, counts_raw = map(np.asarray, fn_raw(params, codes, ridx, coff, key))
 
-    fn12 = make_predict_fn(cfg, PredictKnobs(wire_bits=12, **knobs))
-    lo, pos, val, n_exc, counts_p = fn12(params, codes, ridx, coff, key)
-    n_exc = np.asarray(n_exc)
-    assert int(n_exc.max()) <= WIRE_EXC_SLOTS[12]
-    sig_packed = unpack_wire(np.asarray(lo), np.asarray(pos),
-                             np.asarray(val), n_exc, bits=12)
-    np.testing.assert_array_equal(counts_raw, np.asarray(counts_p))
-    mask = np.arange(250)[None] < counts_raw[:, None]
-    np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
+    for bits in (8, 12):
+        fn = make_predict_fn(cfg, PredictKnobs(wire_bits=bits, **knobs))
+        lo, pos, val, n_exc, counts_p = fn(params, codes, ridx, coff, key)
+        n_exc = np.asarray(n_exc)
+        # the whole point: realistic noisy batches fit the narrow tiers
+        assert int(n_exc.max()) <= WIRE_EXC_SLOTS[bits], bits
+        sig_packed = unpack_wire(np.asarray(lo), np.asarray(pos),
+                                 np.asarray(val), n_exc, bits=bits)
+        np.testing.assert_array_equal(counts_raw, np.asarray(counts_p))
+        mask = np.arange(250)[None] < counts_raw[:, None]
+        np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
