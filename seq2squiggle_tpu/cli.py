@@ -127,6 +127,13 @@ def advanced_options(f):
         click.option("--trace-dir", default=None, type=str, show_default=True,
                      hidden=True,
                      help="Write a jax.profiler trace of the run here."),
+        click.option("--wire-format", default="auto",
+                     type=click.Choice(["auto", "8", "12", "raw"]),
+                     show_default=True, hidden=True,
+                     help="Device->host wire format: auto starts at int8 "
+                     "deltas and losslessly downgrades 8 -> 12-bit -> raw "
+                     "int16 on exception overflow; a fixed value pins the "
+                     "starting tier (raw disables packing)."),
     ]
     for opt in reversed(opts):
         f = opt(f)
@@ -166,7 +173,7 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
             export_every_n_samples, sample_rate, bps, digitisation, range_val,
             offset_mean, offset_std, median_before_mean, median_before_std,
             min_noise, min_duration, min_read_len, preserve_read_ids,
-            num_shards, shard_index, trace_dir, seed,
+            num_shards, shard_index, trace_dir, wire_format, seed,
             model, config, verbosity):
     """Generate sequencing signals from a genome or read FASTA file.
 
@@ -261,6 +268,7 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
         num_shards=num_shards,
         shard_index=shard_index,
         trace_dir=trace_dir,
+        wire_format=wire_format,
     )
     logger.info("Prediction done.")
 

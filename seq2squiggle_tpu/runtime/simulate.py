@@ -114,6 +114,7 @@ def simulate_run(
     num_shards: int = 1,
     shard_index: int = 0,
     trace_dir: Optional[str] = None,
+    wire_format: str = "auto",
 ) -> dict:
     """Run the simulation; returns a stats dict (reads, samples, seconds).
 
@@ -163,8 +164,8 @@ def simulate_run(
         # 8 -> 12 -> 16 on the first exception overflow (recomputing the
         # affected batch raw), so every run self-selects the narrowest
         # LOSSLESS format for its weights/noise scale (see
-        # PredictKnobs.wire_bits).
-        wire_bits=8,
+        # PredictKnobs.wire_bits). --wire-format pins the starting tier.
+        wire_bits={"auto": 8, "8": 8, "12": 12, "raw": 16}[str(wire_format)],
     )
     # Device-level data parallelism: with multiple local chips, shard the
     # chunk batch over a 1-D 'dp' mesh (replicated params, zero inner-loop

@@ -20,7 +20,8 @@ def test_show_advanced_options():
     result = CliRunner().invoke(main, ["predict", "--show-advanced-options"])
     assert result.exit_code == 0
     for flag in ("--noise-std", "--dwell-mean", "--duration-sampler",
-                 "--min_duration", "--num-shards", "--trace-dir"):
+                 "--min_duration", "--num-shards", "--trace-dir",
+                 "--wire-format"):
         assert flag in result.output
 
 
@@ -67,3 +68,23 @@ def test_preprocess_and_train_cli(tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert model.exists()
+
+
+def test_predict_wire_format_pinned_raw(tmp_path):
+    """--wire-format raw must produce byte-identical signals to auto."""
+    from seq2squiggle_tpu.io.slow5 import read_slow5
+
+    sigs = []
+    for name, flag in (("auto.slow5", "auto"), ("raw.slow5", "raw")):
+        out = tmp_path / name
+        result = CliRunner().invoke(
+            main,
+            ["predict", "/root/reference/example/test.fasta", "--read-input",
+             "-o", str(out), "-m", "random", "-s", "5",
+             "--predict-batch-size", "32", "--wire-format", flag],
+        )
+        assert result.exit_code == 0, result.output
+        _, records = read_slow5(str(out))
+        sigs.append([r["signal"] for r in records])
+    for a, b in zip(*sigs):
+        np.testing.assert_array_equal(a, b)
