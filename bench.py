@@ -56,7 +56,10 @@ def main():
         n=64, r=1000, c=-1, out=out, profile="dna-r10-prom",
         dwell_mean=None, dwell_std=0.0, noise_std=2.0, noise_sampling=True,
         duration_sampling=True, distr="expon", predict_batch_size=BATCH,
-        export_every_n_samples=1_000_000, seed=42, show_progress=False,
+        # Flush every ~64k chunks so BLOW5 encode/compress/write streams
+        # through the AsyncWriter thread DURING the loop; one deferred
+        # final flush was measured adding ~4s of dead single-core time.
+        export_every_n_samples=65_536, seed=42, show_progress=False,
     )
     simulate_run(**warm)
     os.remove(out)

@@ -50,10 +50,18 @@ class StreamingExporter:
         segments: List[Segment],
     ):
         T = signal_compact.shape[1]
+        flat = signal_compact[np.arange(T)[None, :] < counts[:, None]]
+        self.add_flat(flat, counts, segments)
+
+    def add_flat(
+        self,
+        flat: np.ndarray,  # kept samples, row-major concatenated
+        counts: np.ndarray,  # (B,) per-row kept-sample counts
+        segments: List[Segment],
+    ):
         counts = counts.astype(np.int64)
         offsets = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-        flat = signal_compact[np.arange(T)[None, :] < counts[:, None]]
         for seg in segments:
             a = offsets[seg.start_row]
             b = offsets[seg.start_row + seg.n_rows]

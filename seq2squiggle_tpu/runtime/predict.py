@@ -56,9 +56,12 @@ class PredictKnobs:
     digitisation: float = 2048.0
     signal_range: float = 281.345551
     offset_mean: float = -127.5655735
-    # Device->host wire width for the first-difference stream: 16 = raw
-    # int16 rows, 8 = int8 deltas (330 B/row vs 504 raw, 1.53x), 12 =
-    # 12-bit deltas packed two-per-three-bytes (395 B/row, 1.28x). The D2H
+    # Device->host wire width: 16 = raw int16 rows, 8 = int8 deltas
+    # (330 B/row vs 504 raw, 1.53x), 12 = 12-bit deltas packed
+    # two-per-three-bytes (395 B/row, 1.28x), 4 = the event tier
+    # (~229 B/row, 2.2x): per-event levels/stdevs/boundaries + 4-bit CLEAN
+    # within-event deltas; the host regenerates the Gaussian noise from
+    # the same threefry keys (see _pack_event_wire). The D2H
     # link is the measured loop bottleneck, so fewer bytes = faster runs.
     # Which tier is lossless depends on the amplitude-noise scale the
     # weights predict: delta sigma in ADC counts is
@@ -75,9 +78,13 @@ class PredictKnobs:
 # k-mer boundaries (<=15 per chunk) plus the first sample are the only
 # structural out-of-range producers; 24 leaves noise headroom. For 12-bit
 # deltas +-2047 exceeds any physical signal jump, so 4 slots is pure
-# paranoia. The kernel reports the true per-row count so the host can
-# verify losslessness and downgrade tiers when exceeded.
-WIRE_EXC_SLOTS = {8: 24, 12: 4}
+# paranoia. For the event tier (4-bit CLEAN deltas; boundaries are carried
+# by per-event levels, not exceptions) trained weights measure ~1% of
+# within-event deltas outside +-7 (~2 per row); 12 slots put the Poisson
+# overflow odds per row below 1e-7. The kernel reports the true per-row
+# count so the host can verify losslessness and downgrade tiers when
+# exceeded.
+WIRE_EXC_SLOTS = {4: 12, 8: 24, 12: 4}
 
 
 def _compute_durations(
@@ -157,6 +164,14 @@ def predict_step(
     pred = decoder_forward(params, expanded, config)  # (B, T, 1)
     pred = pred.astype(jnp.float32)[..., 0] * knobs.scaling_max_value  # (B, T)
 
+    if knobs.wire_bits == 4:
+        # Event tier: ship the CLEAN signal's sufficient statistics (4-bit
+        # within-event deltas + per-event levels/stdevs/boundaries); the
+        # host regenerates the Gaussian amplitude noise from the same
+        # per-chunk threefry keys. The noise is the incompressible part of
+        # the sample stream - not shipping it at all beats any delta width.
+        return _pack_event_wire(pred, durations, noise_stdev, read_idx, knobs)
+
     if knobs.noise_std > 0:
         non_zero = pred != 0.0
         noise_keys = jax.vmap(lambda c: jax.random.fold_in(c, 2))(chunk_keys)
@@ -189,6 +204,100 @@ def predict_step(
     if knobs.wire_bits == 16:
         return signal_compact, counts
     return _pack_wire(signal_compact, counts, knobs.wire_bits) + (counts,)
+
+
+def _pack_event_wire(
+    pred: jnp.ndarray,  # (B, T) f32 CLEAN signal in pA (no noise)
+    durations: jnp.ndarray,  # (B, K) int32 dwell counts
+    noise_stdev: jnp.ndarray,  # (B, K) f32 per-k-mer stdev (model units)
+    read_idx: jnp.ndarray,  # (B,) int32, -1 = padding row
+    knobs: PredictKnobs,
+):
+    """Pack the clean signal as per-event statistics + 4-bit residual deltas.
+
+    Wire contents per row (T=250, K=16: 229 B vs 330 at the 8-bit tier and
+    504 raw):
+      stream  (T/2,)  u8   two 4-bit biased within-event deltas per byte
+      levels  (K+1,)  i16  digitised clean value at each event's first
+                           frame (+1 tail segment past the last boundary)
+      sigma_q (K,)    u8   per-event noise stdev, ADC counts in 1/4 units
+      ends    (K,)    u8   capped cumulative event boundaries (needs T<256)
+      exc_pos/exc_val/n_exc  as the other tiers (delta residuals)
+
+    The host (runtime/wire.unpack_event_wire) rebuilds the clean signal
+    exactly (levels + per-segment cumsum + exception residuals), then adds
+    Gaussian noise drawn from the SAME fold_in(chunk_key, 2) threefry
+    stream the device path uses, so output is deterministic and invariant
+    to batch size/sharding. Values may differ from the raw tier by at most
+    1 ADC count (the clean signal is quantised to integer counts BEFORE
+    noise instead of after); zero-stripping semantics are exact. n_exc
+    carries overflow flags (slot overflow, sigma > 63.75 counts, level
+    outside int16) so the run downgrades to a bit-lossless tier instead of
+    ever shipping a lossy batch.
+    """
+    B, T = pred.shape
+    K = durations.shape[1]
+    assert T % 2 == 0 and T <= 255, "event tier needs even T < 256"
+    cpr = knobs.digitisation / knobs.signal_range  # ADC counts per pA
+    E = WIRE_EXC_SLOTS[4]
+
+    # Digitised clean signal, no offset: integer counts, and the reference's
+    # zero/non-zero export distinction (model.py:286) kept EXACT by flooring
+    # non-zero predictions at 1 count.
+    clean_q = jnp.where(
+        pred > 0.0,
+        jnp.maximum(jnp.round(pred * cpr), 1.0),
+        0.0,
+    ).astype(jnp.int32)
+    clean_q = jnp.where(read_idx[:, None] >= 0, clean_q, 0)
+
+    ends = jnp.minimum(jnp.cumsum(durations, axis=1), T)  # (B, K) int32
+    starts_ext = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
+    )  # (B, K+1): start of segment e
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]  # (1, T)
+    # segment id per frame: e(t) = #boundaries <= t, in [0, K] (K = tail)
+    seg = jnp.sum(t[:, None, :] >= ends[:, :, None], axis=1).astype(jnp.int32)
+    start_frame = jnp.take_along_axis(starts_ext, seg, axis=1)  # (B, T)
+    is_start = t == start_frame
+
+    levels = jnp.take_along_axis(
+        clean_q, jnp.minimum(starts_ext, T - 1), axis=1
+    )  # (B, K+1)
+
+    sigma_counts = (
+        jnp.maximum(noise_stdev, knobs.min_noise)
+        * knobs.noise_std * knobs.scaling_max_value * cpr
+    )  # (B, K) ADC counts
+    sigma_raw = jnp.round(sigma_counts * 4.0)
+    sigma_q = jnp.clip(sigma_raw, 0, 255).astype(jnp.uint8)
+
+    d = jnp.diff(clean_q, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
+    d = jnp.where(is_start, 0, d)  # starts come from `levels`
+    lo = jnp.clip(d, -8, 7)
+    u = (lo + 8).astype(jnp.uint8)
+    stream = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)  # (B, T/2)
+
+    resid = d - lo
+    over = resid != 0
+    resid_fits = (resid >= -32768) & (resid <= 32767)
+    sort_key = (~over).astype(jnp.int8)
+    pos_b = jnp.broadcast_to(t, (B, T))
+    _, pos_sorted, resid_sorted = jax.lax.sort(
+        (sort_key, pos_b, resid), dimension=-1, is_stable=True, num_keys=1
+    )
+    exc_pos = pos_sorted[:, :E].astype(jnp.uint8)
+    exc_val = resid_sorted[:, :E].astype(jnp.int16)
+    n_exc = jnp.sum(over, axis=1).astype(jnp.int32)
+    row_bad = (
+        jnp.any(~resid_fits, axis=1)
+        | ((knobs.noise_std > 0) & knobs.noise_sampling
+           & jnp.any(sigma_raw > 255, axis=1))
+        | jnp.any(jnp.abs(levels) > 32767, axis=1)
+    )
+    n_exc = n_exc + jnp.where(row_bad, jnp.int32(1 << 20), jnp.int32(0))
+    return (stream, levels.astype(jnp.int16), sigma_q,
+            ends.astype(jnp.uint8), exc_pos, exc_val, n_exc)
 
 
 def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray, bits: int):
@@ -249,13 +358,67 @@ def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray, bits: int):
     return stream, exc_pos, exc_val, n_exc
 
 
-def make_predict_fn(config: dict, knobs: PredictKnobs):
-    """Build the jitted predict function for a fixed config + knob set."""
+def wire_layout(bits: int, T: int, K: int):
+    """Per-row field layout of the single-buffer wire framing.
+
+    Shared by the device framer (_frame_outputs) and the host splitter
+    (runtime/wire.unframe_wire). Each entry is (name, numpy dtype, count).
+    """
+    import numpy as np
+
+    if bits == 4:
+        E = WIRE_EXC_SLOTS[4]
+        return [("stream", np.uint8, T // 2), ("levels", np.int16, K + 1),
+                ("sigma_q", np.uint8, K), ("ends", np.uint8, K),
+                ("exc_pos", np.uint8, E), ("exc_val", np.int16, E),
+                ("n_exc", np.int32, 1)]
+    if bits in (8, 12):
+        E = WIRE_EXC_SLOTS[bits]
+        W = T if bits == 8 else (T // 2) * 3
+        return [("stream", np.int8 if bits == 8 else np.uint8, W),
+                ("exc_pos", np.uint8, E), ("exc_val", np.int16, E),
+                ("n_exc", np.int32, 1), ("counts", np.int32, 1)]
+    return [("signal", np.int16, T), ("counts", np.int32, 1)]
+
+
+def _frame_outputs(outs: tuple) -> jnp.ndarray:
+    """Concatenate a tier's output arrays into one (B, ROW_BYTES) uint8
+    buffer (little-endian field bytes).
+
+    The axon-tunneled chip costs a full round trip PER FETCHED ARRAY
+    (~45 ms measured) regardless of size; shipping each batch as a single
+    buffer turns 2-7 round trips into one. Layout: wire_layout().
+    """
+    parts = []
+    for o in outs:
+        B = o.shape[0]
+        if o.ndim == 1:
+            o = o[:, None]
+        # single-byte dtypes keep their shape; wider ones grow a trailing
+        # itemsize axis (little-endian byte order, asserted by tests)
+        b = jax.lax.bitcast_convert_type(o, jnp.uint8)
+        parts.append(b.reshape(B, -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def make_predict_fn(config: dict, knobs: PredictKnobs, framed: bool = False):
+    """Build the jitted predict function for a fixed config + knob set.
+
+    framed=True wraps the tier's outputs into the single-buffer wire
+    framing (one D2H fetch per batch); decode with runtime/wire.unframe_wire.
+    """
     step = functools.partial(predict_step, config=dict(config), knobs=knobs)
-    return jax.jit(step)
+    if not framed:
+        return jax.jit(step)
+
+    def framed_step(params, codes, read_idx, chunk_off, base_key):
+        return _frame_outputs(step(params, codes, read_idx, chunk_off, base_key))
+
+    return jax.jit(framed_step)
 
 
-def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh):
+def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh,
+                            framed: bool = False):
     """Data-parallel predict over a 1-D 'dp' mesh via shard_map.
 
     Reads are embarrassingly parallel: params replicate, the chunk batch
@@ -266,7 +429,21 @@ def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh):
     from jax.sharding import PartitionSpec as P
 
     step = functools.partial(predict_step, config=dict(config), knobs=knobs)
-    n_out = 5 if knobs.wire_bits != 16 else 2
+    if framed:
+        def fstep(params, codes, read_idx, chunk_off, base_key):
+            return _frame_outputs(
+                step(params, codes, read_idx, chunk_off, base_key)
+            )
+
+        sharded = jax.shard_map(
+            fstep,
+            mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+    n_out = {4: 7, 8: 5, 12: 5, 16: 2}[knobs.wire_bits]
     sharded = jax.shard_map(
         step,
         mesh=mesh,

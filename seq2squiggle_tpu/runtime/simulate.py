@@ -9,6 +9,7 @@ overlaps device compute for batch N+1 via JAX async dispatch.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import time
@@ -160,13 +161,25 @@ def simulate_run(
         digitisation=float(profile_dict["digitisation"]),
         signal_range=float(profile_dict["range"]),
         offset_mean=float(profile_dict["offset_mean"]),
-        # Start at the narrowest packed wire tier; drain() downgrades
-        # 8 -> 12 -> 16 on the first exception overflow (recomputing the
-        # affected batch raw), so every run self-selects the narrowest
-        # LOSSLESS format for its weights/noise scale (see
-        # PredictKnobs.wire_bits). --wire-format pins the starting tier.
-        wire_bits={"auto": 8, "8": 8, "12": 12, "raw": 16}[str(wire_format)],
+        # Start at the narrowest wire tier; drain() downgrades
+        # 4 -> 8 -> 12 -> 16 on the first exception overflow (recomputing
+        # the affected batch raw), so every run self-selects the narrowest
+        # faithful format for its weights/noise scale (see
+        # PredictKnobs.wire_bits). Tier 4 ("event") ships per-event
+        # statistics and regenerates the noise host-side from the same
+        # threefry keys - deterministic and sharding-invariant, but the
+        # clean signal is quantised BEFORE noise, so samples may differ
+        # from the bit-lossless tiers by 1 ADC count. --wire-format pins
+        # the starting tier ("8" gives the narrowest bit-lossless one).
+        wire_bits={"auto": 4, "event": 4, "8": 8, "12": 12, "raw": 16}[
+            str(wire_format)
+        ],
     )
+    T_frames = int(config["max_signal_len"])
+    if knobs.wire_bits == 4 and not (T_frames % 2 == 0 and T_frames <= 255):
+        logger.info("Event wire tier needs an even frame budget < 256; "
+                    "starting at 8-bit deltas instead.")
+        knobs = dataclasses.replace(knobs, wire_bits=8)
     # Device-level data parallelism: with multiple local chips, shard the
     # chunk batch over a 1-D 'dp' mesh (replicated params, zero inner-loop
     # collectives). Output is bit-identical to single-chip execution thanks
@@ -178,11 +191,11 @@ def simulate_run(
 
         mesh = make_mesh(n_dp=len(devices), n_tp=1)
         logger.info(f"Data-parallel prediction over {len(devices)} devices")
-        predict_fn = make_predict_fn_sharded(config, knobs, mesh)
+        predict_fn = make_predict_fn_sharded(config, knobs, mesh, framed=True)
         _batch_sharding = batch_sharding(mesh)
         _param_sharding = replicated(mesh)
     else:
-        predict_fn = make_predict_fn(config, knobs)
+        predict_fn = make_predict_fn(config, knobs, framed=True)
     base_key = jax.random.key(seed)
 
     reads, total_chunks = get_reads(
@@ -247,15 +260,13 @@ def simulate_run(
     state = {"knobs": knobs, "predict_fn": predict_fn, "raw_fn": None}
 
     def dataclasses_replace_wire(k, bits=16):
-        import dataclasses
-
         return dataclasses.replace(k, wire_bits=bits)
 
     def build_predict_fn(k):
         """Rebuild the (possibly device-sharded) predict fn for knobs k."""
         if device_dp:
-            return make_predict_fn_sharded(config, k, mesh)
-        return make_predict_fn(config, k)
+            return make_predict_fn_sharded(config, k, mesh, framed=True)
+        return make_predict_fn(config, k, framed=True)
 
     def _raw_recompute(batch):
         """Re-run one batch with the raw (unpacked) wire format."""
@@ -271,48 +282,82 @@ def simulate_run(
             base_key,
         )
 
+    # Stage timers (SEQ2SQUIGGLE_TPU_TIMERS=1): where does the wall go?
+    timers = {"d2h_wait": 0.0, "decode": 0.0, "export": 0.0, "dispatch": 0.0}
+    timing = bool(os.environ.get("SEQ2SQUIGGLE_TPU_TIMERS"))
+
+    T_row = int(config["max_signal_len"])
+    K_row = int(config["max_dna_len"])
+
+    def _downgrade(exc, bits, batch):
+        """Recompute one batch raw; step the run's tier down one notch."""
+        from .wire import unframe_wire
+
+        raw_buf = np.asarray(_raw_recompute(batch))
+        if bits == state["knobs"].wire_bits:
+            next_bits = {4: 8, 8: 12, 12: 16}[bits]
+            logger.warning(
+                f"{exc} — downgrading wire format to "
+                f"{'raw int16' if next_bits == 16 else f'{next_bits}-bit deltas'}."
+            )
+            state["knobs"] = dataclasses_replace_wire(state["knobs"], next_bits)
+            state["predict_fn"] = (
+                state["raw_fn"] if next_bits == 16
+                else build_predict_fn(state["knobs"])
+            )
+        return unframe_wire(raw_buf, 16, T_row, K_row)
+
     def drain(entry):
         outs, batch, bits = entry
         segments = batch.segments
-        if len(outs) == 5:  # packed wire format
-            from .wire import unpack_wire
+        if timing:
+            t = time.perf_counter()
+            jax.block_until_ready(outs)
+            timers["d2h_wait"] += time.perf_counter() - t
+            t = time.perf_counter()
+        from .wire import unframe_wire, unpack_wire
 
-            lo, exc_pos, exc_val, n_exc, counts_dev = outs
-            try:
-                signal_np = unpack_wire(
-                    np.asarray(lo), np.asarray(exc_pos), np.asarray(exc_val),
-                    np.asarray(n_exc), bits=bits,
+        flat = signal_np = counts_np = None
+        arrs = unframe_wire(np.asarray(outs), bits, T_row, K_row)
+        if bits == 4:  # event tier: host-side noise regeneration
+            if state.get("event_decoder") is None:
+                from .wire import EventWireDecoder
+
+                state["event_decoder"] = EventWireDecoder(
+                    dataclasses_replace_wire(knobs, 4), base_key
                 )
+            try:
+                flat, counts_np = state["event_decoder"](
+                    arrs, batch.read_idx, batch.chunk_off
+                )
+            except RuntimeError as exc:
+                signal_np, counts_np = _downgrade(exc, bits, batch)
+        elif bits in (8, 12):  # packed delta wire format
+            lo, exc_pos, exc_val, n_exc, counts_np = arrs
+            try:
+                signal_np = unpack_wire(lo, exc_pos, exc_val, n_exc, bits=bits)
             except RuntimeError as exc:
                 # The current tier can't hold this weights/noise regime's
                 # deltas: recompute this batch raw and downgrade the run's
-                # wire format one tier (8 -> 12 -> raw). Lossless either
-                # way; already-dispatched batches decode with the tier
-                # recorded at dispatch time.
-                signal_dev, counts_dev = _raw_recompute(batch)
-                signal_np = np.asarray(signal_dev)
-                if bits == state["knobs"].wire_bits:
-                    next_bits = 12 if bits == 8 else 16
-                    logger.warning(
-                        f"{exc} — downgrading wire format to "
-                        f"{'raw int16' if next_bits == 16 else f'{next_bits}-bit deltas'}."
-                    )
-                    state["knobs"] = dataclasses_replace_wire(
-                        state["knobs"], next_bits
-                    )
-                    state["predict_fn"] = (
-                        state["raw_fn"] if next_bits == 16
-                        else build_predict_fn(state["knobs"])
-                    )
+                # wire format one tier. Already-dispatched batches decode
+                # with the tier recorded at dispatch time.
+                signal_np, counts_np = _downgrade(exc, bits, batch)
         else:
-            signal_dev, counts_dev = outs
-            signal_np = np.asarray(signal_dev)
-        counts_np = np.asarray(counts_dev)
-        exporter.add_batch(signal_np, counts_np, segments)
+            signal_np, counts_np = arrs
+        if timing:
+            timers["decode"] += time.perf_counter() - t
+            t = time.perf_counter()
+        if flat is not None:
+            exporter.add_flat(flat, counts_np, segments)
+        else:
+            exporter.add_batch(signal_np, counts_np, segments)
+        if timing:
+            timers["export"] += time.perf_counter() - t
         if progress is not None:
             progress.update(sum(s.n_rows for s in segments))
 
     first_batch = True
+    t_loop0 = time.perf_counter()
     for batch in iter_batches(
         reads, predict_batch_size, config["seq_kmer"], config["max_dna_len"],
         read_idx_start=read_idx_start, read_idx_step=read_idx_step,
@@ -341,16 +386,22 @@ def simulate_run(
             first_batch = False
         else:
             outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key)
-        # Start the device->host copies now so they overlap the NEXT batch's
+        # Start the device->host copy now so it overlaps the NEXT batch's
         # compute (D2H over the interconnect is the measured bottleneck).
-        for o in outs:
-            o.copy_to_host_async()
+        outs.copy_to_host_async()
         pending.append((outs, batch, state["knobs"].wire_bits))
         if len(pending) >= pipeline_depth:
             drain(pending.pop(0))
+    if timing:
+        # host-side batch prep + dispatch = loop time not spent in drain
+        timers["dispatch"] = (
+            time.perf_counter() - t_loop0
+            - sum(v for k, v in timers.items() if k != "dispatch")
+        )
     for entry in pending:
         drain(entry)
 
+    t_fin = time.perf_counter()
     exporter.finalize()
     elapsed = time.perf_counter() - t0
     if trace_dir:
@@ -358,6 +409,13 @@ def simulate_run(
         logger.info(f"Profiler trace written to {trace_dir}")
     if progress is not None:
         progress.close()
+
+    if timing:
+        timers["finalize"] = time.perf_counter() - t_fin
+        logger.warning(
+            "stage timers: "
+            + ", ".join(f"{k}={v:.2f}s" for k, v in timers.items())
+        )
 
     stats = {
         "reads": exporter.total_reads,

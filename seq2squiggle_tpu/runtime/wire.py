@@ -1,17 +1,51 @@
-"""Host-side decoder for the packed device->host wire formats.
+"""Host-side decoders for the packed device->host wire formats.
 
-The device ships narrow first-differences of the front-compacted int16
-signal (int8, or 12-bit fields packed two-per-three-bytes) plus up to
-WIRE_EXC_SLOTS[bits] exact (position, residual) exceptions per row (see
-runtime/predict._pack_wire). Reconstruction is two vectorised passes:
-scatter the residuals, then a row-wise cumulative sum.
+Delta tiers (8/12 bit): the device ships narrow first-differences of the
+front-compacted int16 signal plus up to WIRE_EXC_SLOTS[bits] exact
+(position, residual) exceptions per row (see runtime/predict._pack_wire).
+Reconstruction is two vectorised passes: scatter the residuals, then a
+row-wise cumulative sum.
+
+Event tier (4): the device ships the CLEAN signal's sufficient statistics
+(per-event levels/stdevs/boundaries + 4-bit within-event deltas, see
+runtime/predict._pack_event_wire); EventWireDecoder rebuilds the clean
+signal exactly and regenerates the Gaussian amplitude noise on the host
+CPU from the same per-chunk threefry keys the device path uses — the noise
+is the incompressible part of the stream, so not shipping it at all beats
+any delta width. Decoding runs as one jitted CPU-backend program per
+batch; output is deterministic and invariant to batch size and sharding,
+and within 1 ADC count of the raw tier elementwise.
 """
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
-from .predict import WIRE_EXC_SLOTS
+from ..sampling import per_chunk_keys, sample_normal
+from .predict import PredictKnobs, WIRE_EXC_SLOTS, wire_layout
+
+
+def unframe_wire(buf: np.ndarray, bits: int, T: int, K: int):
+    """Split one (B, ROW_BYTES) uint8 wire buffer back into the tier's
+    arrays (see predict.wire_layout / predict._frame_outputs).
+
+    Returns a tuple in layout order; 1-wide int32 fields are squeezed to
+    (B,). Fields are copied out of the row (cheap: one row's worth of
+    bytes) because numpy cannot reinterpret a non-contiguous slice.
+    """
+    out = []
+    off = 0
+    for name, dtype, n in wire_layout(bits, T, K):
+        width = n * np.dtype(dtype).itemsize
+        field = np.ascontiguousarray(buf[:, off:off + width]).view(dtype)
+        out.append(field[:, 0] if n == 1 else field)
+        off += width
+    if off != buf.shape[1]:
+        raise ValueError(
+            f"wire buffer is {buf.shape[1]} B/row, layout expects {off}"
+        )
+    return tuple(out)
 
 
 def unpack_wire(stream: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
@@ -55,3 +89,113 @@ def unpack_wire(stream: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
         ).astype(np.int64).reshape(B, T)
         d = d + corr
     return np.cumsum(d, axis=1).astype(np.int16)
+
+
+class EventWireDecoder:
+    """Decode event-tier batches: clean reconstruction + host-side noise.
+
+    The clean-signal rebuild is pure vectorised numpy; only the Gaussian
+    draws run as a (tiny, jitted) CPU-backend JAX program so the noise bits
+    match the device path's threefry stream exactly. One instance per
+    simulation run. Raises RuntimeError on exception-slot/sigma/level
+    overflow so the caller can downgrade the wire tier and recompute that
+    batch. Returns (flat_kept_samples, counts) for StreamingExporter.add_flat.
+    """
+
+    def __init__(self, knobs: PredictKnobs, base_key):
+        self._knobs = knobs
+        self._cpu = jax.devices("cpu")[0]
+        self._base_key = jax.device_put(base_key, self._cpu)
+
+        def _noise_bits(read_idx, chunk_off):
+            # identical key chain to runtime/predict.predict_step
+            read_keys = per_chunk_keys(self._base_key, read_idx)
+            chunk_keys = jax.vmap(jax.random.fold_in)(read_keys, chunk_off)
+            nk = jax.vmap(lambda c: jax.random.fold_in(c, 2))(chunk_keys)
+            return sample_normal(nk, (self._T,))
+
+        self._noise_fn = jax.jit(_noise_bits)
+        self._T = None  # set on first call (static shape)
+
+    def __call__(self, outs, read_idx: np.ndarray, chunk_off: np.ndarray):
+        """outs: the 7 device arrays; returns (flat_samples, counts) np."""
+        knobs = self._knobs
+        stream, levels, sigma_q, ends, exc_pos, exc_val, n_exc = (
+            np.asarray(o) for o in outs
+        )
+        max_exc = int(np.max(n_exc)) if n_exc.size else 0
+        if max_exc > WIRE_EXC_SLOTS[4]:
+            raise RuntimeError(
+                f"wire-format exception overflow: a row produced {max_exc} "
+                f"out-of-range values (> {WIRE_EXC_SLOTS[4]} slots at the "
+                f"event tier)"
+            )
+        B, W = stream.shape
+        T = W * 2
+        self._T = T
+        K = ends.shape[1]
+        cpr = knobs.digitisation / knobs.signal_range
+        rows = np.arange(B, dtype=np.int64)[:, None]
+
+        # 4-bit biased deltas -> int32, then exact exception residuals.
+        # Unused exception slots carry value 0 (stable-sorted tail); real
+        # exception positions are unique per row, so unbuffered add.at is
+        # exact even when a zero slot aliases a real position.
+        d = np.empty((B, T), np.int32)
+        d[:, 0::2] = stream & 0xF
+        d[:, 1::2] = stream >> 4
+        d -= 8
+        np.add.at(d, (rows, exc_pos.astype(np.int64)),
+                  exc_val.astype(np.int32))
+
+        # segment id per frame via boundary marks + cumsum (O(B*T))
+        ends_i = ends.astype(np.int64)
+        seg = np.zeros((B, T), np.int32)
+        in_range = ends_i < T
+        np.add.at(seg, (np.broadcast_to(rows, ends_i.shape)[in_range],
+                        ends_i[in_range]), 1)
+        seg = np.cumsum(seg, axis=1, dtype=np.int32)  # (B, T) in [0, K]
+
+        starts_ext = np.concatenate(
+            [np.zeros((B, 1), np.int64), ends_i], axis=1
+        )  # (B, K+1)
+        start_frame = np.take_along_axis(starts_ext, seg.astype(np.int64), 1)
+        t_grid = np.arange(T, dtype=np.int64)[None, :]
+        d[t_grid == start_frame] = 0  # starts come from `levels`
+
+        # clean_q[t] = level[seg(t)] + within-segment cumulative delta
+        C = np.cumsum(d, axis=1, dtype=np.int32)
+        C_start = np.take_along_axis(C, np.minimum(start_frame, T - 1), 1)
+        level_f = np.take_along_axis(
+            levels.astype(np.int32), seg.astype(np.int64), 1
+        )
+        clean_q = level_f + C - C_start  # (B, T) int32, >= 0
+        nz = clean_q > 0
+
+        if knobs.noise_std > 0:
+            with jax.default_device(self._cpu):
+                gauss = np.asarray(self._noise_fn(read_idx, chunk_off))
+            if knobs.noise_sampling:
+                # tail segment (seg == K): length regulation extends the
+                # stdev with zeros, so the device-side clamp floor is
+                # min_noise
+                sigma_tail = (knobs.min_noise * knobs.noise_std
+                              * knobs.scaling_max_value * cpr)
+                sigma_ev = np.concatenate(
+                    [sigma_q.astype(np.float32) * 0.25,
+                     np.full((B, 1), sigma_tail, np.float32)], axis=1,
+                )  # (B, K+1) ADC counts
+                sigma_f = np.take_along_axis(sigma_ev, seg.astype(np.int64), 1)
+                noisy = clean_q + gauss * sigma_f
+            else:
+                noisy = clean_q + gauss * np.float32(knobs.noise_std * cpr)
+            noisy = np.where(nz, noisy, 0.0).astype(np.float32)
+        else:
+            noisy = np.where(nz, clean_q, 0).astype(np.float32)
+
+        out_f = np.maximum(noisy, 0.0)
+        # np.rint = round-half-to-even, same as the device digitisation
+        sig = np.rint(out_f - knobs.offset_mean).astype(np.int16)
+        keep = (out_f != 0.0) & (read_idx[:, None] >= 0)
+        counts = keep.sum(axis=1).astype(np.int32)
+        return sig[keep], counts

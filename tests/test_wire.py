@@ -104,6 +104,139 @@ def test_packed_predict_matches_raw(bits):
     np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
 
 
+@pytest.mark.parametrize("bits", [4, 8, 12, 16])
+def test_framed_wire_roundtrip(bits):
+    """Single-buffer framing (one D2H fetch per batch): framed outputs must
+    unframe to exactly the unframed outputs — this pins the device bitcast
+    byte order to the host's little-endian views."""
+    from seq2squiggle_tpu.runtime.wire import unframe_wire
+
+    cfg = load_config(None)
+    cfg["compute_dtype"] = "float32"
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(5)
+    B = 16
+    codes = rng.integers(0, 5, (B, 16, 9)).astype(np.uint8)
+    ridx = np.arange(B, dtype=np.int32)
+    coff = np.zeros(B, np.int32)
+    key = jax.random.key(7)
+    knobs = PredictKnobs(wire_bits=bits, noise_std=1.0, noise_sampling=True,
+                         duration_sampling=True)
+
+    plain = make_predict_fn(cfg, knobs)(params, codes, ridx, coff, key)
+    buf = np.asarray(
+        make_predict_fn(cfg, knobs, framed=True)(params, codes, ridx, coff, key)
+    )
+    arrs = unframe_wire(buf, bits, cfg["max_signal_len"], cfg["max_dna_len"])
+    assert len(arrs) == len(plain)
+    for got, want in zip(arrs, plain):
+        want = np.asarray(want)
+        assert got.dtype == want.dtype, (got.dtype, want.dtype)
+        np.testing.assert_array_equal(got, want.reshape(got.shape))
+
+
+def _trained():
+    import pathlib
+
+    from seq2squiggle_tpu.models.torch_import import load_native_checkpoint
+
+    ckpt = pathlib.Path(__file__).parent.parent / "assets/bench-weights-R10.npz"
+    params, cfg = load_native_checkpoint(str(ckpt))
+    cfg["compute_dtype"] = "float32"
+    cfg["use_pallas"] = False
+    return params, cfg
+
+
+@pytest.mark.parametrize(
+    "knobs_kw",
+    [
+        dict(noise_std=1.0, noise_sampling=True, duration_sampling=True),
+        dict(noise_std=0.0, noise_sampling=False, duration_sampling=True),
+        dict(noise_std=1.5, noise_sampling=False, duration_sampling=True),
+        dict(noise_std=1.0, noise_sampling=True, duration_sampling=False,
+             dwell_std=4.0),
+    ],
+)
+def test_event_tier_matches_raw_within_one_count(knobs_kw):
+    """Event tier (tier 4): the host-reconstructed signal must use the SAME
+    noise bits as the device path, keep zero-stripping counts exact, and
+    differ from the raw tier only by the documented <=1 ADC count clean-
+    signal quantisation."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained()
+    rng = np.random.default_rng(7)
+    B = 64
+    codes = rng.integers(0, 5, (B, 16, 9)).astype(np.uint8)
+    ridx = np.arange(B, dtype=np.int32)
+    coff = np.zeros(B, np.int32)
+    key = jax.random.key(11)
+
+    fn_raw = make_predict_fn(cfg, PredictKnobs(wire_bits=16, **knobs_kw))
+    sig_raw, counts_raw = map(np.asarray,
+                              fn_raw(params, codes, ridx, coff, key))
+
+    knobs4 = PredictKnobs(wire_bits=4, **knobs_kw)
+    outs = make_predict_fn(cfg, knobs4)(params, codes, ridx, coff, key)
+    assert int(np.asarray(outs[6]).max()) <= WIRE_EXC_SLOTS[4]
+    flat4, counts4 = EventWireDecoder(knobs4, key)(outs, ridx, coff)
+
+    np.testing.assert_array_equal(counts_raw, counts4)
+    mask = np.arange(250)[None] < counts_raw[:, None]
+    diff = np.abs(flat4.astype(np.int32) - sig_raw[mask].astype(np.int32))
+    assert diff.max() <= 1
+    # quantisation jitter flips <=1-count roundings on a minority of samples
+    assert (diff == 0).mean() > 0.5
+
+
+def test_event_tier_batch_invariance():
+    """Host-side noise regeneration is keyed per chunk: splitting the same
+    chunks across two differently-shaped batches must be bit-identical."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained()
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 5, (48, 16, 9)).astype(np.uint8)
+    ridx = np.arange(48, dtype=np.int32) // 3
+    coff = np.arange(48, dtype=np.int32) % 3
+    key = jax.random.key(5)
+    knobs = PredictKnobs(wire_bits=4, noise_std=1.0, noise_sampling=True,
+                         duration_sampling=True)
+    fn = make_predict_fn(cfg, knobs)
+    dec = EventWireDecoder(knobs, key)
+
+    flat_full, counts_full = dec(fn(params, codes, ridx, coff, key), ridx, coff)
+    bounds = np.concatenate([[0], np.cumsum(counts_full)])
+    for sl in (slice(0, 16), slice(16, 48)):
+        flat, counts = dec(
+            fn(params, codes[sl], ridx[sl], coff[sl], key), ridx[sl], coff[sl]
+        )
+        np.testing.assert_array_equal(counts, counts_full[sl])
+        np.testing.assert_array_equal(
+            flat, flat_full[bounds[sl.start]:bounds[sl.stop]]
+        )
+
+
+def test_event_tier_overflow_detected():
+    """Absurd noise scales overflow the uint8 sigma field; the decoder must
+    refuse (-> tier downgrade) rather than ship distorted noise."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained()
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, (8, 16, 9)).astype(np.uint8)
+    ridx = np.arange(8, dtype=np.int32)
+    coff = np.zeros(8, np.int32)
+    key = jax.random.key(2)
+    # noise_std=40 -> sigma ~76 pA ~553 ADC counts >> 63.75-count field cap
+    knobs = PredictKnobs(wire_bits=4, noise_std=40.0, noise_sampling=True,
+                         duration_sampling=True)
+    outs = make_predict_fn(cfg, knobs)(params, codes, ridx, coff, key)
+    assert int(np.asarray(outs[6]).max()) > WIRE_EXC_SLOTS[4]
+    with pytest.raises(RuntimeError, match="exception overflow"):
+        EventWireDecoder(knobs, key)(outs, ridx, coff)
+
+
 def test_noisy_packed_lossless_with_trained_weights():
     """VERDICT round-1 weak #1: measure, don't assume. The demo weights
     predict ~1.9 pA amplitude noise (delta sigma ~19.5 ADC counts; int8
