@@ -114,10 +114,11 @@ def _compute_durations(
 
 def predict_step(
     params: dict,
-    codes: jnp.ndarray,  # (B, K, k) int8 k-mer base codes
+    codes: jnp.ndarray,  # (B, K, k) k-mer codes, or (B, K+k-1) base windows
     read_idx: jnp.ndarray,  # (B,) int32 global read index (-1 = padding row)
     chunk_off: jnp.ndarray,  # (B,) int32 chunk offset within the read
     base_key: jax.Array,
+    n_kmers: jnp.ndarray = None,  # (B,) valid k-mers per windowed row
     *,
     config: dict,
     knobs: PredictKnobs,
@@ -134,6 +135,22 @@ def predict_step(
     tunneled chip).
     """
     compute_dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+    if codes.ndim == 2:
+        # Windowed base codes (B, K+k-1): rebuild the K overlapping k-mer
+        # windows with k static slices (free under XLA) and mask k-mers
+        # beyond the row's valid count to the all-'_' padding k-mer —
+        # byte-identical to the host-side materialisation the reference
+        # does (utils.py:334-356), at 1/6 the host->device bytes.
+        k = int(config["seq_kmer"])
+        K = codes.shape[1] - k + 1
+        kmers = jnp.stack([codes[:, j : j + K] for j in range(k)], axis=-1)
+        if n_kmers is not None:
+            valid = (
+                jnp.arange(K, dtype=jnp.int32)[None, :]
+                < n_kmers.astype(jnp.int32)[:, None]
+            )
+            kmers = jnp.where(valid[..., None], kmers, 0)
+        codes = kmers
     B, K, k = codes.shape
     T = config["max_signal_len"]
     n_chars = len(config["allowed_chars"])
@@ -411,8 +428,11 @@ def make_predict_fn(config: dict, knobs: PredictKnobs, framed: bool = False):
     if not framed:
         return jax.jit(step)
 
-    def framed_step(params, codes, read_idx, chunk_off, base_key):
-        return _frame_outputs(step(params, codes, read_idx, chunk_off, base_key))
+    def framed_step(params, codes, read_idx, chunk_off, base_key,
+                    n_kmers=None):
+        return _frame_outputs(
+            step(params, codes, read_idx, chunk_off, base_key, n_kmers)
+        )
 
     return jax.jit(framed_step)
 
@@ -430,15 +450,15 @@ def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh,
 
     step = functools.partial(predict_step, config=dict(config), knobs=knobs)
     if framed:
-        def fstep(params, codes, read_idx, chunk_off, base_key):
+        def fstep(params, codes, read_idx, chunk_off, base_key, n_kmers):
             return _frame_outputs(
-                step(params, codes, read_idx, chunk_off, base_key)
+                step(params, codes, read_idx, chunk_off, base_key, n_kmers)
             )
 
         sharded = jax.shard_map(
             fstep,
             mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P(), P("dp")),
             out_specs=P("dp"),
             check_vma=False,
         )

@@ -250,12 +250,12 @@ def simulate_run(
         jax.profiler.start_trace(trace_dir)
 
     t0 = time.perf_counter()
-    # In-flight batches awaiting host processing. Depth > 1 hides
-    # device-call round-trip latency (significant when the chip is reached
-    # over a network tunnel); kept shallow so device memory stays bounded
-    # and host work still overlaps compute.
-    pipeline_depth = 3
-    pending: list = []
+    # In-flight batches awaiting host processing. The fetch + wire decode +
+    # export run on a dedicated drain thread: fetching is a network wait
+    # (GIL released), so the decode of batch N overlaps the transfer of
+    # batch N+1 even on this 1-core host. The bounded queue caps in-flight
+    # device memory (~3 MB/batch) and applies back-pressure.
+    pipeline_depth = 6
 
     state = {"knobs": knobs, "predict_fn": predict_fn, "raw_fn": None}
 
@@ -280,10 +280,12 @@ def simulate_run(
             jax.device_put(batch.read_idx, device),
             jax.device_put(batch.chunk_off, device),
             base_key,
+            jax.device_put(batch.n_kmers, device),
         )
 
     # Stage timers (SEQ2SQUIGGLE_TPU_TIMERS=1): where does the wall go?
     timers = {"d2h_wait": 0.0, "decode": 0.0, "export": 0.0, "dispatch": 0.0}
+    d2h_waits: list = []
     timing = bool(os.environ.get("SEQ2SQUIGGLE_TPU_TIMERS"))
 
     T_row = int(config["max_signal_len"])
@@ -308,17 +310,13 @@ def simulate_run(
         return unframe_wire(raw_buf, 16, T_row, K_row)
 
     def drain(entry):
-        outs, batch, bits = entry
+        buf, batch, bits = entry
         segments = batch.segments
-        if timing:
-            t = time.perf_counter()
-            jax.block_until_ready(outs)
-            timers["d2h_wait"] += time.perf_counter() - t
-            t = time.perf_counter()
+        t = time.perf_counter()
         from .wire import unframe_wire, unpack_wire
 
         flat = signal_np = counts_np = None
-        arrs = unframe_wire(np.asarray(outs), bits, T_row, K_row)
+        arrs = unframe_wire(buf, bits, T_row, K_row)
         if bits == 4:  # event tier: host-side noise regeneration
             if state.get("event_decoder") is None:
                 from .wire import EventWireDecoder
@@ -356,6 +354,63 @@ def simulate_run(
         if progress is not None:
             progress.update(sum(s.n_rows for s in segments))
 
+    import queue
+    import threading
+
+    # Two-stage drain pipeline: the fetch worker blocks on the device->host
+    # transfer (a network wait on a tunneled chip - GIL released, ~no CPU),
+    # while the decode worker does the CPU work (wire decode, noise
+    # regeneration, export). On a 1-core host these genuinely overlap:
+    # measured 13 s transfer + 13 s decode serialized on one thread, ~max of
+    # the two when split.
+    drain_queue: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
+    decode_queue: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
+    drain_err: list = []
+
+    def _fetch_worker():
+        while True:
+            item = drain_queue.get()
+            try:
+                if item is None:
+                    decode_queue.put(None)
+                    return
+                if not drain_err:
+                    outs, batch, bits = item
+                    t = time.perf_counter()
+                    buf = np.asarray(outs)
+                    if timing:
+                        dt = time.perf_counter() - t
+                        timers["d2h_wait"] += dt
+                        d2h_waits.append(dt)
+                    decode_queue.put((buf, batch, bits))
+            except BaseException as exc:  # re-raised on the main thread
+                drain_err.append(exc)
+                decode_queue.put(None)
+            finally:
+                drain_queue.task_done()
+
+    def _decode_worker():
+        while True:
+            item = decode_queue.get()
+            try:
+                if item is None:
+                    return
+                if not drain_err:
+                    drain(item)
+            except BaseException as exc:
+                drain_err.append(exc)
+            finally:
+                decode_queue.task_done()
+
+    fetch_thread = threading.Thread(
+        target=_fetch_worker, name="seq2squiggle-fetch", daemon=True
+    )
+    decode_thread = threading.Thread(
+        target=_decode_worker, name="seq2squiggle-decode", daemon=True
+    )
+    fetch_thread.start()
+    decode_thread.start()
+
     first_batch = True
     t_loop0 = time.perf_counter()
     for batch in iter_batches(
@@ -365,12 +420,13 @@ def simulate_run(
         codes_dev = jax.device_put(batch.codes, device)
         ridx_dev = jax.device_put(batch.read_idx, device)
         coff_dev = jax.device_put(batch.chunk_off, device)
+        nk_dev = jax.device_put(batch.n_kmers, device)
         fn = state["predict_fn"]
         if first_batch and config.get("use_pallas", "auto") == "auto":
             # Fused-kernel support varies by backend; fall back to the pure
             # XLA path rather than failing the run.
             try:
-                outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+                outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
                 jax.block_until_ready(outs)
             except Exception as exc:
                 logger.warning(
@@ -381,25 +437,25 @@ def simulate_run(
                 state["predict_fn"] = build_predict_fn(state["knobs"])
                 state["raw_fn"] = None
                 outs = state["predict_fn"](
-                    params, codes_dev, ridx_dev, coff_dev, base_key
+                    params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev
                 )
             first_batch = False
         else:
-            outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key)
+            outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
         # Start the device->host copy now so it overlaps the NEXT batch's
         # compute (D2H over the interconnect is the measured bottleneck).
         outs.copy_to_host_async()
-        pending.append((outs, batch, state["knobs"].wire_bits))
-        if len(pending) >= pipeline_depth:
-            drain(pending.pop(0))
+        if drain_err:
+            raise drain_err[0]
+        drain_queue.put((outs, batch, state["knobs"].wire_bits))
     if timing:
-        # host-side batch prep + dispatch = loop time not spent in drain
-        timers["dispatch"] = (
-            time.perf_counter() - t_loop0
-            - sum(v for k, v in timers.items() if k != "dispatch")
-        )
-    for entry in pending:
-        drain(entry)
+        # host-side batch prep + dispatch = loop time not spent draining
+        timers["dispatch"] = time.perf_counter() - t_loop0
+    drain_queue.put(None)
+    fetch_thread.join()
+    decode_thread.join()
+    if drain_err:
+        raise drain_err[0]
 
     t_fin = time.perf_counter()
     exporter.finalize()
@@ -416,6 +472,13 @@ def simulate_run(
             "stage timers: "
             + ", ".join(f"{k}={v:.2f}s" for k, v in timers.items())
         )
+        if d2h_waits:
+            top = sorted(d2h_waits, reverse=True)[:5]
+            logger.warning(
+                f"d2h waits: n={len(d2h_waits)} "
+                f"median={sorted(d2h_waits)[len(d2h_waits)//2]*1e3:.0f}ms "
+                f"top5={[f'{x:.1f}s' for x in top]}"
+            )
 
     stats = {
         "reads": exporter.total_reads,

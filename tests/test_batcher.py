@@ -3,8 +3,10 @@
 import numpy as np
 
 from seq2squiggle_tpu.runtime.batcher import (
+    expand_windows,
     iter_batches,
     read_chunk_codes,
+    read_chunk_windows,
     seq_to_codes,
 )
 
@@ -80,11 +82,31 @@ def test_iter_batches_segments_and_padding():
 
 
 def test_batch_content_matches_per_read_chunks():
-    reads = [("ACGTACGTACGTACGTACGTACGT", "r1"), ("T" * 50, "r2")]
+    """Base windows + n_kmers expand to exactly the reference's materialised
+    k-mer chunks (incl. the all-'_' padding k-mers of each final chunk)."""
+    reads = [("ACGTACGTACGTACGTACGTACGT", "r1"), ("T" * 50, "r2"),
+             ("ACGTN" * 37, "r3")]
     batches = list(iter_batches(iter(reads), batch_size=4, seq_kmer=9,
                                 max_dna_len=16))
-    rows = np.concatenate([b.codes[: b.n_valid] for b in batches])
+    rows = np.concatenate([
+        expand_windows(b.codes, b.n_kmers, 9)[: b.n_valid] for b in batches
+    ])
     expected = np.concatenate(
         [read_chunk_codes(seq, 9, 16) for seq, _ in reads]
     )
     np.testing.assert_array_equal(rows, expected)
+
+
+def test_read_chunk_windows_match_codes():
+    rng = np.random.default_rng(3)
+    for k, length in ((9, 16), (9, 24), (9, 100), (6, 313), (9, 8), (6, 5)):
+        seq = "".join(rng.choice(list("ACGTN"), length))
+        codes = read_chunk_codes(seq, k, 16)
+        windowed = read_chunk_windows(seq, k, 16)
+        if codes is None:
+            assert windowed is None
+            continue
+        windows, n_valid = windowed
+        np.testing.assert_array_equal(
+            expand_windows(windows, n_valid, k), codes
+        )

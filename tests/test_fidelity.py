@@ -15,7 +15,7 @@ from seq2squiggle_tpu.models.fft_model import (
 )
 from seq2squiggle_tpu.models.torch_import import load_native_checkpoint
 from seq2squiggle_tpu.ops.regulator import length_regulate
-from seq2squiggle_tpu.runtime.batcher import iter_batches
+from seq2squiggle_tpu.runtime.batcher import expand_windows, iter_batches
 from seq2squiggle_tpu.runtime.predict import PredictKnobs, make_predict_fn
 from seq2squiggle_tpu.sampling import per_chunk_keys, sample_gamma_durations
 
@@ -46,15 +46,14 @@ def test_simulated_dwell_matches_duration_head(setup):
                          min_duration=3, wire_bits=16)
     fn = make_predict_fn(cfg, knobs)
     key = jax.random.key(7)
-    sig, counts = fn(params, batch.codes, batch.read_idx, batch.chunk_off, key)
+    sig, counts = fn(params, batch.codes, batch.read_idx, batch.chunk_off,
+                     key, batch.n_kmers)
     counts = np.asarray(counts)[: batch.n_valid]
 
     # independent expectation: durations drawn with the same per-chunk keys
-    data = jnp.asarray(
-        batch.codes.reshape(batch.codes.shape[0], 16, -1), jnp.float32
-    )
-    one_hot = jax.nn.one_hot(batch.codes, 5, dtype=jnp.float32).reshape(
-        batch.codes.shape[0], 16, -1
+    kmer_codes = expand_windows(batch.codes, batch.n_kmers, cfg["seq_kmer"])
+    one_hot = jax.nn.one_hot(kmer_codes, 5, dtype=jnp.float32).reshape(
+        kmer_codes.shape[0], 16, -1
     )
     _, emb = encoder_forward(params, one_hot, cfg)
     conc, rate = duration_gamma_params(params, emb, cfg)
@@ -79,12 +78,14 @@ def test_simulated_current_matches_decoder(setup):
                          dwell_mean=10.0, dwell_std=0.0, wire_bits=16)
     fn = make_predict_fn(cfg, knobs)
     key = jax.random.key(8)
-    sig, counts = fn(params, batch.codes, batch.read_idx, batch.chunk_off, key)
+    sig, counts = fn(params, batch.codes, batch.read_idx, batch.chunk_off,
+                     key, batch.n_kmers)
     sig = np.asarray(sig)
     counts = np.asarray(counts)
 
-    one_hot = jax.nn.one_hot(batch.codes, 5, dtype=jnp.float32).reshape(
-        batch.codes.shape[0], 16, -1
+    kmer_codes = expand_windows(batch.codes, batch.n_kmers, cfg["seq_kmer"])
+    one_hot = jax.nn.one_hot(kmer_codes, 5, dtype=jnp.float32).reshape(
+        kmer_codes.shape[0], 16, -1
     )
     enc, _ = encoder_forward(params, one_hot, cfg)
     durations = jnp.full(enc.shape[:2], 10, jnp.int32)

@@ -135,6 +135,32 @@ def test_framed_wire_roundtrip(bits):
         np.testing.assert_array_equal(got, want.reshape(got.shape))
 
 
+def test_windowed_codes_match_materialised_kmers():
+    """The device-side base-window -> k-mer expansion (1/6 the H2D bytes)
+    must be byte-equivalent to shipping materialised k-mer windows."""
+    cfg = load_config(None)
+    cfg["compute_dtype"] = "float32"
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(11)
+    B, K, k = 16, 16, 9
+    windows = rng.integers(0, 6, (B, K + k - 1)).astype(np.uint8)
+    n_kmers = rng.integers(1, K + 1, B).astype(np.uint8)
+
+    from seq2squiggle_tpu.runtime.batcher import expand_windows
+
+    kmer_codes = expand_windows(windows, n_kmers, k)
+    ridx = np.arange(B, dtype=np.int32)
+    coff = np.zeros(B, np.int32)
+    key = jax.random.key(3)
+    knobs = PredictKnobs(wire_bits=16, noise_std=1.0, noise_sampling=True,
+                         duration_sampling=True)
+    fn = make_predict_fn(cfg, knobs)
+    sig_w, counts_w = fn(params, windows, ridx, coff, key, n_kmers)
+    sig_k, counts_k = fn(params, kmer_codes, ridx, coff, key)
+    np.testing.assert_array_equal(np.asarray(counts_w), np.asarray(counts_k))
+    np.testing.assert_array_equal(np.asarray(sig_w), np.asarray(sig_k))
+
+
 def _trained():
     import pathlib
 
