@@ -77,6 +77,20 @@ def load_native() -> Optional[ctypes.CDLL]:
                                           ctypes.c_int]
         lib.zlib_compress_bound.restype = size_t
         lib.zlib_compress_bound.argtypes = [size_t]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        c_int = ctypes.c_int
+        c_float = ctypes.c_float
+        lib.delta_wire_unpack.restype = None
+        lib.delta_wire_unpack.argtypes = [
+            u8p, u8p, i16p, size_t, size_t, size_t, c_int, i16p,
+        ]
+        lib.event_wire_decode.restype = size_t
+        lib.event_wire_decode.argtypes = [
+            u8p, i16p, u8p, u8p, u8p, i16p, f32p, i32p,
+            size_t, size_t, size_t, size_t,
+            c_int, c_float, c_float, c_float, c_float, i16p, i32p,
+        ]
         _LIB = lib
         logger.debug(f"native codec loaded: {path}")
         return _LIB

@@ -48,13 +48,25 @@ def unframe_wire(buf: np.ndarray, bits: int, T: int, K: int):
     return tuple(out)
 
 
+def _native_lib():
+    """The C++ codec library, or None (then the numpy fallbacks run)."""
+    from ..io.native.build import load_native
+
+    return load_native()
+
+
 def unpack_wire(stream: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
-                n_exc: np.ndarray, bits: int = 8) -> np.ndarray:
+                n_exc: np.ndarray, bits: int = 8,
+                use_native: bool = True) -> np.ndarray:
     """Narrow deltas + int16 exceptions -> (B,T) int16 signal.
 
     n_exc rows flagged by the device (slot overflow, or a residual outside
     int16) exceed WIRE_EXC_SLOTS[bits] and raise, so the caller downgrades
     the wire tier and recomputes that batch.
+
+    Decodes through the single-pass C++ kernel (io/native/slow5_codec.cc,
+    delta_wire_unpack) when the toolchain built it; the numpy path below is
+    the portable fallback and the parity oracle (tests/test_wire.py).
     """
     slots = WIRE_EXC_SLOTS[bits]
     max_exc = int(np.max(n_exc))
@@ -63,6 +75,26 @@ def unpack_wire(stream: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
             f"wire-format exception overflow: a row produced {max_exc} "
             f"out-of-range deltas (> {slots} slots at {bits}-bit width)"
         )
+    B = stream.shape[0]
+    T = stream.shape[1] if bits == 8 else (stream.shape[1] // 3) * 2
+    lib = _native_lib() if use_native else None
+    if lib is not None and T <= 256 and bits in (8, 12):
+        import ctypes
+
+        out = np.empty((B, T), np.int16)
+        stream_c = np.ascontiguousarray(stream)
+        exc_pos_c = np.ascontiguousarray(exc_pos)
+        exc_val_c = np.ascontiguousarray(exc_val)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.delta_wire_unpack(
+            stream_c.ctypes.data_as(u8p),
+            exc_pos_c.ctypes.data_as(u8p),
+            exc_val_c.ctypes.data_as(i16p),
+            B, T, exc_pos.shape[1], bits,
+            out.ctypes.data_as(i16p),
+        )
+        return out
     if bits == 8:
         B, T = stream.shape
         d = stream.astype(np.int64)
@@ -102,10 +134,11 @@ class EventWireDecoder:
     batch. Returns (flat_kept_samples, counts) for StreamingExporter.add_flat.
     """
 
-    def __init__(self, knobs: PredictKnobs, base_key):
+    def __init__(self, knobs: PredictKnobs, base_key, use_native: bool = True):
         self._knobs = knobs
         self._cpu = jax.devices("cpu")[0]
         self._base_key = jax.device_put(base_key, self._cpu)
+        self._use_native = use_native
 
         def _noise_bits(read_idx, chunk_off):
             # identical key chain to runtime/predict.predict_step
@@ -137,11 +170,55 @@ class EventWireDecoder:
         rows = np.arange(B, dtype=np.intp)[:, None]
 
         # Kick off the (GIL-releasing) threefry noise draw FIRST so the
-        # jitted CPU program's dispatch overlaps the numpy rebuild below.
+        # jitted CPU program's dispatch overlaps the rebuild below.
         gauss_fut = None
         if knobs.noise_std > 0:
             with jax.default_device(self._cpu):
                 gauss_fut = self._noise_fn(read_idx, chunk_off)
+
+        # Single-pass C++ decode when available (bit-identical to the numpy
+        # fallback below, asserted by tests/test_wire.py).
+        lib = _native_lib() if self._use_native else None
+        if lib is not None and T <= 256:
+            import ctypes
+
+            K = ends.shape[1]
+            sigma_tail = np.float32(
+                knobs.min_noise * knobs.noise_std
+                * knobs.scaling_max_value * cpr
+            )
+            noise_mode = (
+                0 if knobs.noise_std <= 0
+                else (2 if knobs.noise_sampling else 1)
+            )
+            gauss = (
+                np.ascontiguousarray(np.asarray(gauss_fut))
+                if noise_mode else None
+            )
+            ridx = np.ascontiguousarray(read_idx, np.int32)
+            flat = np.empty(B * T, np.int16)
+            counts = np.empty(B, np.int32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            total = lib.event_wire_decode(
+                np.ascontiguousarray(stream).ctypes.data_as(u8p),
+                np.ascontiguousarray(levels).ctypes.data_as(i16p),
+                np.ascontiguousarray(sigma_q).ctypes.data_as(u8p),
+                np.ascontiguousarray(ends).ctypes.data_as(u8p),
+                np.ascontiguousarray(exc_pos).ctypes.data_as(u8p),
+                np.ascontiguousarray(exc_val).ctypes.data_as(i16p),
+                gauss.ctypes.data_as(f32p) if gauss is not None else None,
+                ridx.ctypes.data_as(i32p),
+                B, T, K, exc_pos.shape[1],
+                noise_mode, np.float32(0.25), sigma_tail,
+                np.float32(knobs.noise_std * cpr),
+                np.float32(knobs.offset_mean),
+                flat.ctypes.data_as(i16p),
+                counts.ctypes.data_as(i32p),
+            )
+            return flat[:total], counts
 
         # 4-bit biased deltas -> int32, then exact exception residuals.
         # Unused exception slots carry value 0 (stable-sorted tail); real

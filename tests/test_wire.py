@@ -300,3 +300,67 @@ def test_noisy_packed_lossless_with_trained_weights():
         np.testing.assert_array_equal(counts_raw, np.asarray(counts_p))
         mask = np.arange(250)[None] < counts_raw[:, None]
         np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
+
+
+def _native_available():
+    from seq2squiggle_tpu.io.native.build import load_native
+
+    return load_native() is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+@pytest.mark.parametrize("bits", [8, 12])
+def test_native_delta_unpack_matches_numpy(bits):
+    """The C++ delta_wire_unpack must be bit-identical to the numpy
+    fallback, exceptions included (io/native/slow5_codec.cc)."""
+    from seq2squiggle_tpu.runtime.wire import unpack_wire
+
+    rng = np.random.default_rng(21)
+    B, T, E = 64, 250, WIRE_EXC_SLOTS[bits]
+    if bits == 8:
+        stream = rng.integers(-127, 128, (B, T)).astype(np.int8)
+    else:
+        stream = rng.integers(0, 256, (B, (T // 2) * 3)).astype(np.uint8)
+    exc_pos = rng.integers(0, T, (B, E)).astype(np.uint8)
+    exc_val = rng.integers(-30000, 30000, (B, E)).astype(np.int16)
+    n_exc = np.full(B, E, np.int32)
+    a = unpack_wire(stream, exc_pos, exc_val, n_exc, bits=bits,
+                    use_native=True)
+    b = unpack_wire(stream, exc_pos, exc_val, n_exc, bits=bits,
+                    use_native=False)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+@pytest.mark.parametrize(
+    "noise_std,noise_sampling",
+    [(0.0, False), (1.5, False), (1.0, True)],
+)
+def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
+    """The C++ event_wire_decode must be bit-identical to the numpy
+    fallback across all noise modes — same f32 operation order, same
+    round-half-to-even digitisation — including duplicate event ends,
+    padding rows (read_idx -1), and exception residuals."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    rng = np.random.default_rng(17)
+    B, T, K, E = 128, 250, 16, WIRE_EXC_SLOTS[4]
+    stream = rng.integers(0, 256, (B, T // 2)).astype(np.uint8)
+    levels = rng.integers(0, 2500, (B, K + 1)).astype(np.int16)
+    sigma_q = rng.integers(0, 255, (B, K)).astype(np.uint8)
+    # durations of 0 produce duplicate ends (empty events) on purpose
+    durs = rng.integers(0, 40, (B, K))
+    ends = np.minimum(np.cumsum(durs, axis=1), 255).astype(np.uint8)
+    exc_pos = rng.integers(0, T, (B, E)).astype(np.uint8)
+    exc_val = rng.integers(-200, 200, (B, E)).astype(np.int16)
+    n_exc = np.full(B, E, np.int32)
+    ridx = rng.integers(-1, 50, B).astype(np.int32)
+    coff = rng.integers(0, 8, B).astype(np.int32)
+    outs = (stream, levels, sigma_q, ends, exc_pos, exc_val, n_exc)
+    knobs = PredictKnobs(wire_bits=4, noise_std=noise_std,
+                         noise_sampling=noise_sampling)
+    key = jax.random.key(5)
+    fa, ca = EventWireDecoder(knobs, key, use_native=True)(outs, ridx, coff)
+    fb, cb = EventWireDecoder(knobs, key, use_native=False)(outs, ridx, coff)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(fa, fb)
