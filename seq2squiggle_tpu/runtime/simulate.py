@@ -291,22 +291,43 @@ def simulate_run(
     T_row = int(config["max_signal_len"])
     K_row = int(config["max_dna_len"])
 
+    # A packed tier that can't hold one batch costs ONE raw recompute of
+    # that batch; permanently stepping the whole run down a tier costs
+    # wider rows for every remaining batch over the measured D2H
+    # bottleneck (plus a mid-run recompile). A single overflowing row in
+    # millions (observed: 1 row in 3M at 50k reads) must not do the
+    # latter, so the tier only downgrades once several batches overflow —
+    # that's the signature of a weights/noise regime the tier genuinely
+    # can't encode (e.g. 15 pA noise under int8 deltas).
+    _DOWNGRADE_AFTER = 4  # overflowing batches tolerated per tier
+    overflow_counts = {4: 0, 8: 0, 12: 0}
+
     def _downgrade(exc, bits, batch):
-        """Recompute one batch raw; step the run's tier down one notch."""
+        """Recompute one batch raw; downgrade the tier if overflows recur."""
         from .wire import unframe_wire
 
         raw_buf = np.asarray(_raw_recompute(batch))
         if bits == state["knobs"].wire_bits:
-            next_bits = {4: 8, 8: 12, 12: 16}[bits]
-            logger.warning(
-                f"{exc} — downgrading wire format to "
-                f"{'raw int16' if next_bits == 16 else f'{next_bits}-bit deltas'}."
-            )
-            state["knobs"] = dataclasses_replace_wire(state["knobs"], next_bits)
-            state["predict_fn"] = (
-                state["raw_fn"] if next_bits == 16
-                else build_predict_fn(state["knobs"])
-            )
+            overflow_counts[bits] += 1
+            if overflow_counts[bits] < _DOWNGRADE_AFTER:
+                logger.warning(
+                    f"{exc} — recomputed this batch raw "
+                    f"({overflow_counts[bits]}/{_DOWNGRADE_AFTER} "
+                    f"overflows before the {bits}-bit tier downgrades)."
+                )
+            else:
+                next_bits = {4: 8, 8: 12, 12: 16}[bits]
+                logger.warning(
+                    f"{exc} — downgrading wire format to "
+                    f"{'raw int16' if next_bits == 16 else f'{next_bits}-bit deltas'}."
+                )
+                state["knobs"] = dataclasses_replace_wire(
+                    state["knobs"], next_bits
+                )
+                state["predict_fn"] = (
+                    state["raw_fn"] if next_bits == 16
+                    else build_predict_fn(state["knobs"])
+                )
         return unframe_wire(raw_buf, 16, T_row, K_row)
 
     def drain(entry):
@@ -343,7 +364,10 @@ def simulate_run(
         else:
             signal_np, counts_np = arrs
         if timing:
-            timers["decode"] += time.perf_counter() - t
+            dt = time.perf_counter() - t
+            timers["decode"] += dt
+            timers[f"decode_t{bits}"] = timers.get(f"decode_t{bits}", 0.0) + dt
+            timers[f"n_t{bits}"] = timers.get(f"n_t{bits}", 0) + 1
             t = time.perf_counter()
         if flat is not None:
             exporter.add_flat(flat, counts_np, segments)
@@ -468,9 +492,15 @@ def simulate_run(
 
     if timing:
         timers["finalize"] = time.perf_counter() - t_fin
+        if state.get("event_decoder") is not None:
+            for k, v in state["event_decoder"].timers.items():
+                timers[f"event_{k}"] = v
         logger.warning(
             "stage timers: "
-            + ", ".join(f"{k}={v:.2f}s" for k, v in timers.items())
+            + ", ".join(
+                f"{k}={v}" if isinstance(v, int) else f"{k}={v:.2f}s"
+                for k, v in timers.items()
+            )
         )
         if d2h_waits:
             top = sorted(d2h_waits, reverse=True)[:5]

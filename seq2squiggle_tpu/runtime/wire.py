@@ -14,7 +14,10 @@ CPU from the same per-chunk threefry keys the device path uses — the noise
 is the incompressible part of the stream, so not shipping it at all beats
 any delta width. Decoding runs as one jitted CPU-backend program per
 batch; output is deterministic and invariant to batch size and sharding,
-and within 1 ADC count of the raw tier elementwise.
+and within 1 ADC count of the raw tier elementwise. (Caveat: a batch
+whose rows overflow the tier's exception slots is recomputed through the
+raw tier — runtime/simulate._downgrade — so its samples are raw-exact;
+chunks co-batched differently may then differ by that same 1 count.)
 """
 
 from __future__ import annotations
@@ -149,6 +152,9 @@ class EventWireDecoder:
 
         self._noise_fn = jax.jit(_noise_bits)
         self._T = None  # set on first call (static shape)
+        # stage accumulators (read by runtime/simulate's --timers report)
+        self.timers = {"noise_dispatch": 0.0, "noise_wait": 0.0,
+                       "rebuild": 0.0}
 
     def __call__(self, outs, read_idx: np.ndarray, chunk_off: np.ndarray):
         """outs: the 7 device arrays; returns (flat_samples, counts) np."""
@@ -171,10 +177,14 @@ class EventWireDecoder:
 
         # Kick off the (GIL-releasing) threefry noise draw FIRST so the
         # jitted CPU program's dispatch overlaps the rebuild below.
+        import time as _time
+
         gauss_fut = None
         if knobs.noise_std > 0:
+            _t = _time.perf_counter()
             with jax.default_device(self._cpu):
                 gauss_fut = self._noise_fn(read_idx, chunk_off)
+            self.timers["noise_dispatch"] += _time.perf_counter() - _t
 
         # Single-pass C++ decode when available (bit-identical to the numpy
         # fallback below, asserted by tests/test_wire.py).
@@ -191,10 +201,13 @@ class EventWireDecoder:
                 0 if knobs.noise_std <= 0
                 else (2 if knobs.noise_sampling else 1)
             )
+            _t = _time.perf_counter()
             gauss = (
                 np.ascontiguousarray(np.asarray(gauss_fut))
                 if noise_mode else None
             )
+            self.timers["noise_wait"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
             ridx = np.ascontiguousarray(read_idx, np.int32)
             flat = np.empty(B * T, np.int16)
             counts = np.empty(B, np.int32)
@@ -218,6 +231,7 @@ class EventWireDecoder:
                 flat.ctypes.data_as(i16p),
                 counts.ctypes.data_as(i32p),
             )
+            self.timers["rebuild"] += _time.perf_counter() - _t
             return flat[:total], counts
 
         # 4-bit biased deltas -> int32, then exact exception residuals.
