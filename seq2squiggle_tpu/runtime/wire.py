@@ -129,19 +129,28 @@ def unpack_wire(stream: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
 class EventWireDecoder:
     """Decode event-tier batches: clean reconstruction + host-side noise.
 
-    The clean-signal rebuild is pure vectorised numpy; only the Gaussian
-    draws run as a (tiny, jitted) CPU-backend JAX program so the noise bits
-    match the device path's threefry stream exactly. One instance per
-    simulation run. Raises RuntimeError on exception-slot/sigma/level
-    overflow so the caller can downgrade the wire tier and recompute that
-    batch. Returns (flat_kept_samples, counts) for StreamingExporter.add_flat.
+    With the native codec available, both the clean-signal rebuild and the
+    threefry Gaussian regeneration run as single-pass SIMD C++
+    (io/native/slow5_codec.cc) — the C++ threefry replicates jax.random's
+    exact key chain and partitionable counter layout, bit-exact on the
+    uniform bits and within float-rounding (~1e-5) of jax.random.normal's
+    erfinv transform. The fallback path is vectorised numpy for the
+    rebuild plus a jitted CPU-backend JAX program for the noise, and is
+    the parity oracle for tests. One instance per simulation run. Raises
+    RuntimeError on exception-slot/sigma/level overflow so the caller can
+    recompute that batch through the raw tier. Returns
+    (flat_kept_samples, counts) for StreamingExporter.add_flat.
     """
 
-    def __init__(self, knobs: PredictKnobs, base_key, use_native: bool = True):
+    def __init__(self, knobs: PredictKnobs, base_key, use_native: bool = True,
+                 native_noise: bool = True):
         self._knobs = knobs
         self._cpu = jax.devices("cpu")[0]
         self._base_key = jax.device_put(base_key, self._cpu)
         self._use_native = use_native
+        self._native_noise = native_noise
+        kd = np.asarray(jax.random.key_data(base_key)).astype(np.uint32)
+        self._key_words = (int(kd[0]), int(kd[1]))
 
         def _noise_bits(read_idx, chunk_off):
             # identical key chain to runtime/predict.predict_step
@@ -175,21 +184,30 @@ class EventWireDecoder:
         cpr = knobs.digitisation / knobs.signal_range
         rows = np.arange(B, dtype=np.intp)[:, None]
 
-        # Kick off the (GIL-releasing) threefry noise draw FIRST so the
-        # jitted CPU program's dispatch overlaps the rebuild below.
         import time as _time
 
+        lib = _native_lib() if self._use_native else None
+        native = lib is not None and T <= 256
+
+        # Kick off the (GIL-releasing) threefry noise draw FIRST so the
+        # jitted CPU program's dispatch overlaps the rebuild below. The
+        # native path draws its own noise in C++ instead (same key chain).
         gauss_fut = None
-        if knobs.noise_std > 0:
+        if knobs.noise_std > 0 and not (native and self._native_noise):
             _t = _time.perf_counter()
-            with jax.default_device(self._cpu):
-                gauss_fut = self._noise_fn(read_idx, chunk_off)
+            # Committed-to-CPU inputs pin the jitted program to the CPU
+            # backend without a default_device context manager — the
+            # context would force jax's slow Python dispatch path
+            # (measured 6 ms/call vs ~0.2 ms).
+            gauss_fut = self._noise_fn(
+                jax.device_put(read_idx, self._cpu),
+                jax.device_put(chunk_off, self._cpu),
+            )
             self.timers["noise_dispatch"] += _time.perf_counter() - _t
 
         # Single-pass C++ decode when available (bit-identical to the numpy
-        # fallback below, asserted by tests/test_wire.py).
-        lib = _native_lib() if self._use_native else None
-        if lib is not None and T <= 256:
+        # fallback below given the same noise, asserted by tests/test_wire.py).
+        if native:
             import ctypes
 
             K = ends.shape[1]
@@ -201,20 +219,28 @@ class EventWireDecoder:
                 0 if knobs.noise_std <= 0
                 else (2 if knobs.noise_sampling else 1)
             )
-            _t = _time.perf_counter()
-            gauss = (
-                np.ascontiguousarray(np.asarray(gauss_fut))
-                if noise_mode else None
-            )
-            self.timers["noise_wait"] += _time.perf_counter() - _t
-            _t = _time.perf_counter()
-            ridx = np.ascontiguousarray(read_idx, np.int32)
-            flat = np.empty(B * T, np.int16)
-            counts = np.empty(B, np.int32)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             i16p = ctypes.POINTER(ctypes.c_int16)
             i32p = ctypes.POINTER(ctypes.c_int32)
             f32p = ctypes.POINTER(ctypes.c_float)
+            ridx = np.ascontiguousarray(read_idx, np.int32)
+            _t = _time.perf_counter()
+            if not noise_mode:
+                gauss = None
+            elif self._native_noise:
+                coff = np.ascontiguousarray(chunk_off, np.int32)
+                gauss = np.empty((B, T), np.float32)
+                lib.threefry_normal_fill(
+                    self._key_words[0], self._key_words[1],
+                    ridx.ctypes.data_as(i32p), coff.ctypes.data_as(i32p),
+                    B, T, gauss.ctypes.data_as(f32p),
+                )
+            else:
+                gauss = np.ascontiguousarray(np.asarray(gauss_fut))
+            self.timers["noise_wait"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
+            flat = np.empty(B * T, np.int16)
+            counts = np.empty(B, np.int32)
             total = lib.event_wire_decode(
                 np.ascontiguousarray(stream).ctypes.data_as(u8p),
                 np.ascontiguousarray(levels).ctypes.data_as(i16p),

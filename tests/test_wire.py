@@ -331,19 +331,8 @@ def test_native_delta_unpack_matches_numpy(bits):
     np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
-@pytest.mark.parametrize(
-    "noise_std,noise_sampling",
-    [(0.0, False), (1.5, False), (1.0, True)],
-)
-def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
-    """The C++ event_wire_decode must be bit-identical to the numpy
-    fallback across all noise modes — same f32 operation order, same
-    round-half-to-even digitisation — including duplicate event ends,
-    padding rows (read_idx -1), and exception residuals."""
-    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
-
-    rng = np.random.default_rng(17)
+def _event_case(seed=17):
+    rng = np.random.default_rng(seed)
     B, T, K, E = 128, 250, 16, WIRE_EXC_SLOTS[4]
     stream = rng.integers(0, 256, (B, T // 2)).astype(np.uint8)
     levels = rng.integers(0, 2500, (B, K + 1)).astype(np.int16)
@@ -356,11 +345,73 @@ def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
     n_exc = np.full(B, E, np.int32)
     ridx = rng.integers(-1, 50, B).astype(np.int32)
     coff = rng.integers(0, 8, B).astype(np.int32)
-    outs = (stream, levels, sigma_q, ends, exc_pos, exc_val, n_exc)
+    return (stream, levels, sigma_q, ends, exc_pos, exc_val, n_exc), ridx, coff
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+@pytest.mark.parametrize(
+    "noise_std,noise_sampling",
+    [(0.0, False), (1.5, False), (1.0, True)],
+)
+def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
+    """The C++ event_wire_decode must be bit-identical to the numpy
+    fallback across all noise modes given the same noise bits — same f32
+    operation order, same round-half-to-even digitisation — including
+    duplicate event ends, padding rows (read_idx -1), and exception
+    residuals. (native_noise=False feeds both paths the jax draw.)"""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    outs, ridx, coff = _event_case()
     knobs = PredictKnobs(wire_bits=4, noise_std=noise_std,
                          noise_sampling=noise_sampling)
     key = jax.random.key(5)
-    fa, ca = EventWireDecoder(knobs, key, use_native=True)(outs, ridx, coff)
+    fa, ca = EventWireDecoder(knobs, key, use_native=True,
+                              native_noise=False)(outs, ridx, coff)
     fb, cb = EventWireDecoder(knobs, key, use_native=False)(outs, ridx, coff)
     np.testing.assert_array_equal(ca, cb)
     np.testing.assert_array_equal(fa, fb)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_native_threefry_noise_matches_jax():
+    """The C++ threefry normal fill replicates jax.random's fold_in chain
+    and partitionable counter layout: uniform bits are bit-exact, the
+    erfinv transform agrees to float rounding, and decoded samples differ
+    from the jax-noise path by at most the 1-count rint boundary."""
+    from seq2squiggle_tpu.io.native.build import load_native
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+    from seq2squiggle_tpu.sampling import per_chunk_keys, sample_normal
+    import ctypes
+
+    lib = load_native()
+    base = jax.random.key(42)
+    rng = np.random.default_rng(23)
+    B, T = 16, 250
+    ridx = rng.integers(-1, 1000, B).astype(np.int32)
+    coff = rng.integers(0, 64, B).astype(np.int32)
+    rk = per_chunk_keys(base, ridx)
+    ck = jax.vmap(jax.random.fold_in)(rk, coff)
+    nk = jax.vmap(lambda c: jax.random.fold_in(c, 2))(ck)
+    ref = np.asarray(sample_normal(nk, (T,)))
+    out = np.empty((B, T), np.float32)
+    kd = np.asarray(jax.random.key_data(base)).astype(np.uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.threefry_normal_fill(int(kd[0]), int(kd[1]),
+                             ridx.ctypes.data_as(i32p),
+                             coff.ctypes.data_as(i32p), B, T,
+                             out.ctypes.data_as(f32p))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=0)
+    assert (out == ref).mean() > 0.5  # most draws bit-exact
+
+    # decode-level: C++ noise vs jax noise differ by at most 1 ADC count
+    outs, dridx, dcoff = _event_case(29)
+    knobs = PredictKnobs(wire_bits=4, noise_std=1.0, noise_sampling=True)
+    fa, ca = EventWireDecoder(knobs, base, use_native=True,
+                              native_noise=True)(outs, dridx, dcoff)
+    fb, cb = EventWireDecoder(knobs, base, use_native=True,
+                              native_noise=False)(outs, dridx, dcoff)
+    np.testing.assert_array_equal(ca, cb)
+    diff = np.abs(fa.astype(np.int32) - fb.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999
