@@ -128,16 +128,19 @@ def advanced_options(f):
                      hidden=True,
                      help="Write a jax.profiler trace of the run here."),
         click.option("--wire-format", default="auto",
-                     type=click.Choice(["auto", "event", "8", "12", "raw"]),
+                     type=click.Choice(["auto", "ulp", "event", "8", "12",
+                                        "raw"]),
                      show_default=True, hidden=True,
                      help="Device->host wire format: auto starts at the "
-                     "event tier (per-event statistics; amplitude noise is "
-                     "regenerated host-side from the same per-chunk keys - "
-                     "deterministic, within 1 ADC count of raw) and "
-                     "downgrades event -> 8 -> 12-bit -> raw int16 on "
-                     "exception overflow; a fixed value pins the starting "
-                     "tier ('8' is the narrowest bit-lossless one, 'raw' "
-                     "disables packing)."),
+                     "ULP tier (bf16 event levels + 2-bit ULP deltas; "
+                     "amplitude noise is regenerated host-side from the "
+                     "same per-chunk keys - deterministic, bit-identical "
+                     "to raw for noise-free runs, within 1 ADC count "
+                     "otherwise) and downgrades ulp -> event -> 8 -> "
+                     "12-bit -> raw int16 on exception overflow; a fixed "
+                     "value pins the starting tier ('8' is the narrowest "
+                     "unconditionally bit-lossless one, 'raw' disables "
+                     "packing)."),
     ]
     for opt in reversed(opts):
         f = opt(f)

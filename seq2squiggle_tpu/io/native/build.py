@@ -102,6 +102,14 @@ def load_native() -> Optional[ctypes.CDLL]:
             size_t, size_t, size_t, size_t,
             c_int, c_float, c_float, c_float, c_float, i16p, i32p,
         ]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.ulp_event_wire_decode.restype = size_t
+        lib.ulp_event_wire_decode.argtypes = [
+            u8p, u16p, u8p, u8p, u8p, u8p, i16p, f32p, i32p,
+            size_t, size_t, size_t, size_t, size_t,
+            c_int, c_float, c_float, c_float, c_float, c_float, c_float,
+            c_float, i16p, i32p,
+        ]
         lib.threefry_normal_fill.restype = None
         lib.threefry_normal_fill.argtypes = [
             ctypes.c_uint32, ctypes.c_uint32, i32p, i32p,

@@ -117,7 +117,10 @@ void delta_wire_unpack(const uint8_t* stream, const uint8_t* exc_pos,
 // `gauss` (threefry bits drawn host-side, runtime/wire.EventWireDecoder).
 // noise_mode: 0 = none, 1 = static sigma, 2 = per-event sampled sigma.
 // Float math mirrors the numpy fallback operation-for-operation (same f32
-// order) so outputs are bit-identical. Returns total samples written.
+// order) so outputs are bit-identical; fp-contract is pinned off so gcc
+// cannot fuse g*sigma + clean into an FMA with different rounding.
+// Returns total samples written.
+__attribute__((optimize("-ffp-contract=off")))
 size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
                          const int16_t* levels,   // (B, K+1)
                          const uint8_t* sigma_q,  // (B, K)
@@ -180,6 +183,101 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
         // matching np.rint and the device digitisation.
         flat_out[pos++] =
             (int16_t)(int32_t)std::nearbyintf(out_f - offset_mean);
+        ++n_keep;
+      }
+    }
+    counts[r] = n_keep;
+  }
+  return pos;
+}
+
+// ULP event tier (wire_bits=2): bf16 event levels + 2-bit ULP deltas ->
+// digitised int16 samples, front-compacted with per-row counts. The stream
+// carries four 2-bit symbols per byte (0=+0, 1=+1 ULP, 2=-1 ULP,
+// 3=escape); escapes consume 4-bit nibbles from `esc` in stream order;
+// exception slots add residuals beyond the escape range. The rebuilt
+// ordinal IS the bf16 bit pattern of the decoder output, so this replays
+// the device's digitisation chain on exact values (see
+// runtime/predict._pack_event_wire_ulp). fp-contract is pinned off so
+// float rounding matches the numpy oracle bit-for-bit (an FMA in
+// p + g*sigma would round differently). Returns total samples written.
+__attribute__((optimize("-ffp-contract=off")))
+size_t ulp_event_wire_decode(
+    const uint8_t* stream,    // (B, ceil(T/4)) packed 2-bit symbols
+    const uint16_t* levels,   // (B, K+1) raw bf16 bits at event starts
+    const uint8_t* sigma_q,   // (B, K) quarter-ADC-count stdevs
+    const uint8_t* ends,      // (B, K) non-decreasing boundaries
+    const uint8_t* esc,       // (B, EB) packed 4-bit escape deltas
+    const uint8_t* exc_pos,   // (B, E)
+    const int16_t* exc_val,   // (B, E)
+    const float* gauss,       // (B, T) or NULL
+    const int32_t* read_idx,  // (B,)
+    size_t B, size_t T, size_t K, size_t E, size_t EB,
+    int noise_mode, float sigma_scale_pa, float sigma_tail_pa,
+    float static_sigma, float scale_s, float dig, float rng,
+    float offset_mean, int16_t* flat_out, int32_t* counts) {
+  const size_t W = (T + 3) / 4;
+  size_t pos = 0;
+  for (size_t r = 0; r < B; ++r) {
+    const uint8_t* s = stream + r * W;
+    const uint16_t* lv = levels + r * (K + 1);
+    const uint8_t* sq = sigma_q + r * K;
+    const uint8_t* en = ends + r * K;
+    const uint8_t* er = esc + r * EB;
+    const float* g = gauss ? gauss + r * T : nullptr;
+    const bool row_live = read_idx[r] >= 0;
+
+    int32_t corr[256];
+    std::memset(corr, 0, sizeof(corr));
+    {
+      const uint8_t* ep = exc_pos + r * E;
+      const int16_t* ev = exc_val + r * E;
+      for (size_t e = 0; e < E; ++e) corr[ep[e]] += (int32_t)ev[e];
+    }
+
+    size_t seg = 0;
+    int32_t C = 0;
+    int32_t Cstart = 0;
+    size_t esc_rank = 0;
+    int32_t n_keep = 0;
+    for (size_t t = 0; t < T; ++t) {
+      while (seg < K && (size_t)en[seg] <= t) ++seg;
+      const bool is_start = (seg == 0) ? (t == 0) : ((size_t)en[seg - 1] == t);
+      const int sym = (s[t >> 2] >> ((t & 3) * 2)) & 3;
+      int32_t d;
+      if (sym == 3) {
+        // Clamp like the numpy oracle: rows with more escapes than slots
+        // are flagged by the device (n_exc overflow) and never decoded in
+        // production, but synthetic parity tests feed random streams.
+        const size_t ei = esc_rank < 2 * EB ? esc_rank : 2 * EB - 1;
+        const uint8_t nb = (ei & 1) ? (er[ei >> 1] >> 4) : (er[ei >> 1] & 0xF);
+        ++esc_rank;
+        d = (int32_t)nb - 8;
+      } else {
+        d = (sym == 1) - (sym == 2);
+      }
+      d = is_start ? 0 : (d + corr[t]);
+      C += d;
+      if (is_start) Cstart = C;
+      const uint32_t ub = ((uint32_t)(uint16_t)((int32_t)lv[seg] + C - Cstart))
+                          << 16;
+      float f;
+      std::memcpy(&f, &ub, 4);
+      const float p = f * scale_s;  // exact bf16 pred -> pA
+      float pn;
+      if (noise_mode == 0) {
+        pn = p;
+      } else {
+        const float sigma =
+            (noise_mode == 2)
+                ? (seg < K ? (float)sq[seg] * sigma_scale_pa : sigma_tail_pa)
+                : static_sigma;
+        pn = (p != 0.0f) ? p + g[t] * sigma : p;
+        if (pn < 0.0f) pn = 0.0f;
+      }
+      if (pn != 0.0f && row_live) {
+        flat_out[pos++] =
+            (int16_t)(int32_t)std::nearbyintf((pn * dig) / rng - offset_mean);
         ++n_keep;
       }
     }

@@ -61,7 +61,9 @@ class PredictKnobs:
     # two-per-three-bytes (395 B/row, 1.28x), 4 = the event tier
     # (~229 B/row, 2.2x): per-event levels/stdevs/boundaries + 4-bit CLEAN
     # within-event deltas; the host regenerates the Gaussian noise from
-    # the same threefry keys (see _pack_event_wire). The D2H
+    # the same threefry keys (see _pack_event_wire). 2 = the ULP event
+    # tier (~161 B/row, 3.1x): bf16 event levels + 2-bit ULP deltas
+    # (see _pack_event_wire_ulp; requires bfloat16 compute). The D2H
     # link is the measured loop bottleneck, so fewer bytes = faster runs.
     # Which tier is lossless depends on the amplitude-noise scale the
     # weights predict: delta sigma in ADC counts is
@@ -81,10 +83,18 @@ class PredictKnobs:
 # paranoia. For the event tier (4-bit CLEAN deltas; boundaries are carried
 # by per-event levels, not exceptions) trained weights measure ~1% of
 # within-event deltas outside +-7 (~2 per row); 12 slots put the Poisson
-# overflow odds per row below 1e-7. The kernel reports the true per-row
-# count so the host can verify losslessness and downgrade tiers when
-# exceeded.
-WIRE_EXC_SLOTS = {4: 12, 8: 24, 12: 4}
+# overflow odds per row below 1e-7. For the ULP tier (2) the 2-bit stream
+# escapes to a 4-bit side channel first, so the full (pos, val) slots only
+# catch ULP jumps beyond +-8 — measured ~2e-6 per sample with trained
+# weights, so 4 slots suffice. The kernel reports the true per-row count
+# so the host can verify losslessness and downgrade tiers when exceeded.
+WIRE_EXC_SLOTS = {2: 4, 4: 12, 8: 24, 12: 4}
+
+# 4-bit escape-value slots per row for the ULP tier's 2-bit stream. Trained
+# weights measure ~3% of within-event ULP deltas outside {0, +-1} (~6 per
+# 200-sample row); 32 slots put the per-row overflow odds below 1e-12
+# (overflow costs one raw batch recompute, not correctness).
+WIRE_ESC_SLOTS = 32
 
 
 def _compute_durations(
@@ -178,9 +188,17 @@ def predict_step(
         enc_out, durations, T, x_noise=noise_stdev[..., None]
     )
 
-    pred = decoder_forward(params, expanded, config)  # (B, T, 1)
-    pred = pred.astype(jnp.float32)[..., 0] * knobs.scaling_max_value  # (B, T)
+    dec = decoder_forward(params, expanded, config)[..., 0]  # (B, T)
+    pred = dec.astype(jnp.float32) * knobs.scaling_max_value  # (B, T) pA
 
+    if knobs.wire_bits == 2:
+        # ULP event tier: the decoder output is exactly bfloat16-valued, so
+        # within-event variation is almost always 0 or +-1 bf16 ULP. Ship
+        # the raw bf16 BITS of each event's first frame plus 2-bit ULP
+        # deltas; the host reconstructs the clean signal bit-exactly and
+        # regenerates the noise (see _pack_event_wire_ulp).
+        return _pack_event_wire_ulp(dec, durations, noise_stdev, read_idx,
+                                    knobs)
     if knobs.wire_bits == 4:
         # Event tier: ship the CLEAN signal's sufficient statistics (4-bit
         # within-event deltas + per-event levels/stdevs/boundaries); the
@@ -317,6 +335,133 @@ def _pack_event_wire(
             ends.astype(jnp.uint8), exc_pos, exc_val, n_exc)
 
 
+def _pack_event_wire_ulp(
+    dec: jnp.ndarray,  # (B, T) bfloat16 CLEAN decoder output (pre-scaling)
+    durations: jnp.ndarray,  # (B, K) int32 dwell counts
+    noise_stdev: jnp.ndarray,  # (B, K) f32 per-k-mer stdev (model units)
+    read_idx: jnp.ndarray,  # (B,) int32, -1 = padding row
+    knobs: PredictKnobs,
+):
+    """Pack the clean signal as bf16 event levels + 2-bit ULP deltas.
+
+    The decoder runs in bfloat16, so its output sits exactly on the bf16
+    grid — and for non-negative bf16 values the raw bit pattern is a
+    MONOTONIC uint16 ordinal (1 ULP = 1). Within an event the signal is
+    near-constant, so consecutive-frame ordinal deltas are almost always
+    in {0, +1, -1} (~97% with trained weights): a 2-bit symbol stream
+    covers them, a 4-bit side channel takes |delta| <= 8 escapes
+    (~3%/sample, ESC symbol marks them in order), and full (pos, val)
+    exception slots catch the ~2e-6/sample remainder.
+
+    Wire contents per row (T=250, K=16: 161 B vs 229 at the 4-bit event
+    tier and 504 raw):
+      stream  (ceil(T/4),)       u8   four 2-bit symbols per byte
+                                      (0 = +0, 1 = +1 ULP, 2 = -1 ULP,
+                                      3 = escape)
+      levels  (K+1,)             u16  raw bf16 bits at each event's first
+                                      frame (+1 tail segment)
+      sigma_q (K,)               u8   per-event noise stdev, ADC counts in
+                                      1/4 units (as the 4-bit tier)
+      ends    (K,)               u8   capped cumulative event boundaries
+      esc     (WIRE_ESC_SLOTS/2,) u8  biased 4-bit escape deltas, two per
+                                      byte, in stream order
+      exc_pos/exc_val/n_exc           residuals beyond the escape range
+
+    Because the host (runtime/wire.EventWireDecoder) rebuilds the exact
+    bf16 prediction, it replays the device's own digitisation chain
+    (f32 cast -> x scaling -> noise -> clamp -> x dig / range - offset ->
+    round): output is BIT-IDENTICAL to the raw tier for noise-free and
+    static-noise runs, and within 1 ADC count for sampled-noise runs
+    (the per-event stdev is quantised to quarter counts). n_exc carries
+    overflow flags (escape-slot or exception-slot overflow, sigma out of
+    range) so the run recomputes the batch raw instead of ever shipping a
+    lossy one.
+    """
+    B, T = dec.shape
+    K = durations.shape[1]
+    assert T <= 255, "ULP event tier needs ends to fit uint8 (T < 256)"
+    assert dec.dtype == jnp.bfloat16, "ULP event tier needs bfloat16 compute"
+    E = WIRE_EXC_SLOTS[2]
+    ESC = WIRE_ESC_SLOTS
+
+    # Monotonic ordinal: the decoder output is post-ReLU (>= +0.0), so the
+    # raw bf16 bit pattern itself orders values; 1 ULP = 1 ordinal step.
+    ord_ = jax.lax.bitcast_convert_type(dec, jnp.uint16).astype(jnp.int32)
+    ord_ = jnp.where(read_idx[:, None] >= 0, ord_, 0)
+
+    ends = jnp.minimum(jnp.cumsum(durations, axis=1), T)  # (B, K) int32
+    starts_ext = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
+    )  # (B, K+1)
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]  # (1, T)
+    seg = jnp.sum(t[:, None, :] >= ends[:, :, None], axis=1).astype(jnp.int32)
+    start_frame = jnp.take_along_axis(starts_ext, seg, axis=1)  # (B, T)
+    is_start = t == start_frame
+
+    levels = jnp.take_along_axis(
+        ord_, jnp.minimum(starts_ext, T - 1), axis=1
+    ).astype(jnp.uint16)  # (B, K+1) raw bf16 bits
+
+    cpr = knobs.digitisation / knobs.signal_range
+    sigma_counts = (
+        jnp.maximum(noise_stdev, knobs.min_noise)
+        * knobs.noise_std * knobs.scaling_max_value * cpr
+    )
+    sigma_raw = jnp.round(sigma_counts * 4.0)
+    sigma_q = jnp.clip(sigma_raw, 0, 255).astype(jnp.uint8)
+
+    d = jnp.diff(ord_, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
+    d = jnp.where(is_start, 0, d)  # starts come from `levels`
+
+    # 2-bit symbols: 0 -> +0, 1 -> +1, 2 -> -1, 3 -> escape.
+    sym = jnp.where(
+        d == 0, 0, jnp.where(d == 1, 1, jnp.where(d == -1, 2, 3))
+    ).astype(jnp.int32)
+    pad = (-T) % 4
+    symp = jnp.pad(sym, ((0, 0), (0, pad))) if pad else sym
+    q = symp.reshape(B, -1, 4)
+    stream = (
+        q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) | (q[..., 3] << 6)
+    ).astype(jnp.uint8)  # (B, ceil(T/4))
+
+    # Escape side channel: the j-th ESC symbol of a row (stream order) owns
+    # nibble j. Exclusive running rank + one-hot MXU scatter, all static.
+    is_esc = sym == 3
+    esc_i = is_esc.astype(jnp.int32)
+    rank = jnp.cumsum(esc_i, axis=1) - esc_i  # exclusive rank at escapes
+    e4 = jnp.clip(d, -8, 7)
+    slot = jnp.where(is_esc & (rank < ESC), rank, ESC)
+    onehot = jax.nn.one_hot(slot, ESC + 1, dtype=jnp.float32)[..., :ESC]
+    esc_nib = jnp.einsum(
+        "bt,bte->be", (e4 + 8).astype(jnp.float32), onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.uint8)  # exact: each slot has at most one contributor
+    esc = (esc_nib[:, 0::2] | (esc_nib[:, 1::2] << 4)).astype(jnp.uint8)
+    n_esc = jnp.sum(esc_i, axis=1)
+
+    # Residuals beyond the 4-bit escape range -> full exception slots.
+    resid = d - e4
+    over = resid != 0
+    resid_fits = (resid >= -32768) & (resid <= 32767)
+    sort_key = (~over).astype(jnp.int8)
+    pos_b = jnp.broadcast_to(t, (B, T))
+    _, pos_sorted, resid_sorted = jax.lax.sort(
+        (sort_key, pos_b, resid), dimension=-1, is_stable=True, num_keys=1
+    )
+    exc_pos = pos_sorted[:, :E].astype(jnp.uint8)
+    exc_val = resid_sorted[:, :E].astype(jnp.int16)
+    n_exc = jnp.sum(over, axis=1).astype(jnp.int32)
+    row_bad = (
+        jnp.any(~resid_fits, axis=1)
+        | (n_esc > ESC)
+        | ((knobs.noise_std > 0) & knobs.noise_sampling
+           & jnp.any(sigma_raw > 255, axis=1))
+    )
+    n_exc = n_exc + jnp.where(row_bad, jnp.int32(1 << 20), jnp.int32(0))
+    return (stream, levels, sigma_q, ends.astype(jnp.uint8), esc,
+            exc_pos, exc_val, n_exc)
+
+
 def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray, bits: int):
     """Pack (B, T) int16 front-compacted signal into narrow first-differences
     plus sparse exact exceptions.
@@ -383,6 +528,14 @@ def wire_layout(bits: int, T: int, K: int):
     """
     import numpy as np
 
+    if bits == 2:
+        E = WIRE_EXC_SLOTS[2]
+        return [("stream", np.uint8, (T + 3) // 4),
+                ("levels", np.uint16, K + 1),
+                ("sigma_q", np.uint8, K), ("ends", np.uint8, K),
+                ("esc", np.uint8, WIRE_ESC_SLOTS // 2),
+                ("exc_pos", np.uint8, E), ("exc_val", np.int16, E),
+                ("n_exc", np.int32, 1)]
     if bits == 4:
         E = WIRE_EXC_SLOTS[4]
         return [("stream", np.uint8, T // 2), ("levels", np.int16, K + 1),
@@ -463,7 +616,7 @@ def make_predict_fn_sharded(config: dict, knobs: PredictKnobs, mesh,
             check_vma=False,
         )
         return jax.jit(sharded)
-    n_out = {4: 7, 8: 5, 12: 5, 16: 2}[knobs.wire_bits]
+    n_out = {2: 8, 4: 7, 8: 5, 12: 5, 16: 2}[knobs.wire_bits]
     sharded = jax.shard_map(
         step,
         mesh=mesh,

@@ -162,20 +162,27 @@ def simulate_run(
         signal_range=float(profile_dict["range"]),
         offset_mean=float(profile_dict["offset_mean"]),
         # Start at the narrowest wire tier; drain() downgrades
-        # 4 -> 8 -> 12 -> 16 on the first exception overflow (recomputing
-        # the affected batch raw), so every run self-selects the narrowest
-        # faithful format for its weights/noise scale (see
-        # PredictKnobs.wire_bits). Tier 4 ("event") ships per-event
-        # statistics and regenerates the noise host-side from the same
-        # threefry keys - deterministic and sharding-invariant, but the
-        # clean signal is quantised BEFORE noise, so samples may differ
-        # from the bit-lossless tiers by 1 ADC count. --wire-format pins
-        # the starting tier ("8" gives the narrowest bit-lossless one).
-        wire_bits={"auto": 4, "event": 4, "8": 8, "12": 12, "raw": 16}[
-            str(wire_format)
-        ],
+        # 2 -> 4 -> 8 -> 12 -> 16 on repeated exception overflow
+        # (recomputing the affected batch raw), so every run self-selects
+        # the narrowest faithful format for its weights/noise scale (see
+        # PredictKnobs.wire_bits). Tier 2 ("ulp") ships raw bf16 event
+        # levels + 2-bit ULP deltas and regenerates the noise host-side
+        # from the same threefry keys - deterministic, sharding-invariant,
+        # and BIT-IDENTICAL to the raw tier for noise-free runs (noisy
+        # samples may differ by 1 ADC count from sigma quantisation).
+        # Tier 4 ("event") is its 4-bit fallback with integer-count
+        # levels. --wire-format pins the starting tier ("8" gives the
+        # narrowest unconditionally bit-lossless one).
+        wire_bits={"auto": 2, "ulp": 2, "event": 4, "8": 8, "12": 12,
+                   "raw": 16}[str(wire_format)],
     )
     T_frames = int(config["max_signal_len"])
+    if knobs.wire_bits == 2 and not (
+        T_frames <= 255 and config.get("compute_dtype") == "bfloat16"
+    ):
+        logger.info("ULP wire tier needs bfloat16 compute and < 256 frames; "
+                    "starting at the 4-bit event tier instead.")
+        knobs = dataclasses.replace(knobs, wire_bits=4)
     if knobs.wire_bits == 4 and not (T_frames % 2 == 0 and T_frames <= 255):
         logger.info("Event wire tier needs an even frame budget < 256; "
                     "starting at 8-bit deltas instead.")
@@ -300,7 +307,7 @@ def simulate_run(
     # that's the signature of a weights/noise regime the tier genuinely
     # can't encode (e.g. 15 pA noise under int8 deltas).
     _DOWNGRADE_AFTER = 4  # overflowing batches tolerated per tier
-    overflow_counts = {4: 0, 8: 0, 12: 0}
+    overflow_counts = {2: 0, 4: 0, 8: 0, 12: 0}
 
     def _downgrade(exc, bits, batch):
         """Recompute one batch raw; downgrade the tier if overflows recur."""
@@ -316,10 +323,11 @@ def simulate_run(
                     f"overflows before the {bits}-bit tier downgrades)."
                 )
             else:
-                next_bits = {4: 8, 8: 12, 12: 16}[bits]
+                next_bits = {2: 4, 4: 8, 8: 12, 12: 16}[bits]
+                tier_name = {4: "the 4-bit event tier", 8: "8-bit deltas",
+                             12: "12-bit deltas", 16: "raw int16"}[next_bits]
                 logger.warning(
-                    f"{exc} — downgrading wire format to "
-                    f"{'raw int16' if next_bits == 16 else f'{next_bits}-bit deltas'}."
+                    f"{exc} — downgrading wire format to {tier_name}."
                 )
                 state["knobs"] = dataclasses_replace_wire(
                     state["knobs"], next_bits
@@ -338,15 +346,18 @@ def simulate_run(
 
         flat = signal_np = counts_np = None
         arrs = unframe_wire(buf, bits, T_row, K_row)
-        if bits == 4:  # event tier: host-side noise regeneration
-            if state.get("event_decoder") is None:
+        if bits in (2, 4):  # event tiers: host-side noise regeneration
+            if state.get("event_decoder", {}).get(bits) is None:
                 from .wire import EventWireDecoder
 
-                state["event_decoder"] = EventWireDecoder(
-                    dataclasses_replace_wire(knobs, 4), base_key
+                state.setdefault("event_decoder", {})[bits] = (
+                    EventWireDecoder(
+                        dataclasses_replace_wire(knobs, bits), base_key,
+                        frames=T_row,
+                    )
                 )
             try:
-                flat, counts_np = state["event_decoder"](
+                flat, counts_np = state["event_decoder"][bits](
                     arrs, batch.read_idx, batch.chunk_off
                 )
             except RuntimeError as exc:
@@ -492,9 +503,9 @@ def simulate_run(
 
     if timing:
         timers["finalize"] = time.perf_counter() - t_fin
-        if state.get("event_decoder") is not None:
-            for k, v in state["event_decoder"].timers.items():
-                timers[f"event_{k}"] = v
+        for dec_bits, dec in state.get("event_decoder", {}).items():
+            for k, v in dec.timers.items():
+                timers[f"event{dec_bits}_{k}"] = v
         logger.warning(
             "stage timers: "
             + ", ".join(

@@ -143,12 +143,13 @@ class EventWireDecoder:
     """
 
     def __init__(self, knobs: PredictKnobs, base_key, use_native: bool = True,
-                 native_noise: bool = True):
+                 native_noise: bool = True, frames: int = None):
         self._knobs = knobs
         self._cpu = jax.devices("cpu")[0]
         self._base_key = jax.device_put(base_key, self._cpu)
         self._use_native = use_native
         self._native_noise = native_noise
+        self._frames = frames  # required for the ULP tier (stream pads to 4)
         kd = np.asarray(jax.random.key_data(base_key)).astype(np.uint32)
         self._key_words = (int(kd[0]), int(kd[1]))
 
@@ -166,7 +167,9 @@ class EventWireDecoder:
                        "rebuild": 0.0}
 
     def __call__(self, outs, read_idx: np.ndarray, chunk_off: np.ndarray):
-        """outs: the 7 device arrays; returns (flat_samples, counts) np."""
+        """outs: the tier's device arrays; returns (flat_samples, counts)."""
+        if self._knobs.wire_bits == 2:
+            return self._decode_ulp(outs, read_idx, chunk_off)
         knobs = self._knobs
         stream, levels, sigma_q, ends, exc_pos, exc_val, n_exc = (
             np.asarray(o) for o in outs
@@ -327,3 +330,173 @@ class EventWireDecoder:
         np.rint(out_f, out=out_f)
         counts = keep.sum(axis=1).astype(np.int32)
         return out_f[keep].astype(np.int16), counts
+
+    def _decode_ulp(self, outs, read_idx: np.ndarray, chunk_off: np.ndarray):
+        """Decode the ULP event tier (predict._pack_event_wire_ulp).
+
+        Reconstructs the decoder's EXACT bfloat16 output from per-event
+        bf16 bit levels + 2-bit ULP deltas (escapes in the 4-bit side
+        channel, residuals in the exception slots), then replays the
+        device's own digitisation chain in f32. Noise-free and
+        static-noise batches are BIT-IDENTICAL to the raw tier through
+        the numpy/jax path; sampled-noise batches are within 1 ADC count
+        (quarter-count sigma quantisation; the native threefry fill adds
+        float-rounding-level noise deviations, still inside 1 count).
+        """
+        knobs = self._knobs
+        stream, levels, sigma_q, ends, esc, exc_pos, exc_val, n_exc = (
+            np.asarray(o) for o in outs
+        )
+        max_exc = int(np.max(n_exc)) if n_exc.size else 0
+        if max_exc > WIRE_EXC_SLOTS[2]:
+            raise RuntimeError(
+                f"wire-format exception overflow: a row produced {max_exc} "
+                f"out-of-range values (> {WIRE_EXC_SLOTS[2]} slots at the "
+                f"ULP event tier)"
+            )
+        B = stream.shape[0]
+        T = self._frames if self._frames is not None else stream.shape[1] * 4
+        self._T = T
+        rows = np.arange(B, dtype=np.intp)[:, None]
+
+        import time as _time
+
+        lib = _native_lib() if self._use_native else None
+        native = lib is not None and T <= 255
+
+        gauss_fut = None
+        if knobs.noise_std > 0 and not (native and self._native_noise):
+            _t = _time.perf_counter()
+            gauss_fut = self._noise_fn(
+                jax.device_put(read_idx, self._cpu),
+                jax.device_put(chunk_off, self._cpu),
+            )
+            self.timers["noise_dispatch"] += _time.perf_counter() - _t
+
+        scale_s = np.float32(knobs.scaling_max_value)
+        dig = np.float32(knobs.digitisation)
+        rng_f = np.float32(knobs.signal_range)
+        offset = np.float32(knobs.offset_mean)
+        # sigma wire (quarter ADC counts) back to pA: one f32 multiply, so
+        # both decode paths quantise identically.
+        sigma_scale_pa = np.float32(
+            0.25 * knobs.signal_range / knobs.digitisation
+        )
+        sigma_tail_pa = np.float32(knobs.min_noise * knobs.noise_std
+                                   * knobs.scaling_max_value)
+        noise_mode = (
+            0 if knobs.noise_std <= 0 else (2 if knobs.noise_sampling else 1)
+        )
+
+        if native:
+            import ctypes
+
+            K = ends.shape[1]
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            ridx = np.ascontiguousarray(read_idx, np.int32)
+            _t = _time.perf_counter()
+            if not noise_mode:
+                gauss = None
+            elif self._native_noise:
+                coff = np.ascontiguousarray(chunk_off, np.int32)
+                gauss = np.empty((B, T), np.float32)
+                lib.threefry_normal_fill(
+                    self._key_words[0], self._key_words[1],
+                    ridx.ctypes.data_as(i32p), coff.ctypes.data_as(i32p),
+                    B, T, gauss.ctypes.data_as(f32p),
+                )
+            else:
+                gauss = np.ascontiguousarray(np.asarray(gauss_fut))
+            self.timers["noise_wait"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
+            flat = np.empty(B * T, np.int16)
+            counts = np.empty(B, np.int32)
+            total = lib.ulp_event_wire_decode(
+                np.ascontiguousarray(stream).ctypes.data_as(u8p),
+                np.ascontiguousarray(levels).ctypes.data_as(u16p),
+                np.ascontiguousarray(sigma_q).ctypes.data_as(u8p),
+                np.ascontiguousarray(ends).ctypes.data_as(u8p),
+                np.ascontiguousarray(esc).ctypes.data_as(u8p),
+                np.ascontiguousarray(exc_pos).ctypes.data_as(u8p),
+                np.ascontiguousarray(exc_val).ctypes.data_as(i16p),
+                gauss.ctypes.data_as(f32p) if gauss is not None else None,
+                ridx.ctypes.data_as(i32p),
+                B, T, K, exc_pos.shape[1], esc.shape[1],
+                noise_mode, sigma_scale_pa, sigma_tail_pa,
+                np.float32(knobs.noise_std), scale_s, dig, rng_f, offset,
+                flat.ctypes.data_as(i16p),
+                counts.ctypes.data_as(i32p),
+            )
+            self.timers["rebuild"] += _time.perf_counter() - _t
+            return flat[:total], counts
+
+        # ---- numpy fallback (parity oracle) ----
+        _t = _time.perf_counter()
+        W = stream.shape[1]
+        sym = np.empty((B, W * 4), np.uint8)
+        for j in range(4):
+            sym[:, j::4] = (stream >> (2 * j)) & 3
+        sym = sym[:, :T]
+        d = (sym == 1).astype(np.int32) - (sym == 2).astype(np.int32)
+        is_esc = sym == 3
+        esc_i = is_esc.astype(np.int32)
+        rank = np.cumsum(esc_i, axis=1) - esc_i  # exclusive rank
+        nib = np.empty((B, esc.shape[1] * 2), np.uint8)
+        nib[:, 0::2] = esc & 0xF
+        nib[:, 1::2] = esc >> 4
+        esc_vals = np.take_along_axis(
+            nib, np.minimum(rank, nib.shape[1] - 1).astype(np.intp), axis=1
+        ).astype(np.int32) - 8
+        d = np.where(is_esc, esc_vals, d)
+        np.add.at(d, (rows, exc_pos.astype(np.intp)),
+                  exc_val.astype(np.int32))
+
+        # segment machinery identical to the 4-bit tier
+        ends_i = ends.astype(np.intp)
+        seg = np.zeros((B, T), np.intp)
+        in_range = ends_i < T
+        np.add.at(seg, (np.broadcast_to(rows, ends_i.shape)[in_range],
+                        ends_i[in_range]), 1)
+        np.cumsum(seg, axis=1, out=seg)
+        starts_ext = np.concatenate(
+            [np.zeros((B, 1), np.intp), ends_i], axis=1
+        )
+        start_frame = np.take_along_axis(starts_ext, seg, 1)
+        t_grid = np.arange(T, dtype=np.intp)[None, :]
+        d[t_grid == start_frame] = 0
+        np.cumsum(d, axis=1, out=d)
+        np.minimum(start_frame, T - 1, out=start_frame)
+        C_start = np.take_along_axis(d, start_frame, 1)
+        level_i = np.take_along_axis(levels.astype(np.int32), seg, 1)
+        ord_ = level_i + d - C_start  # (B, T) bf16 bit ordinals
+
+        bits16 = ord_.astype(np.uint16)
+        p = (bits16.astype(np.uint32) << 16).view(np.float32)
+        p = p * scale_s  # exact bf16 -> f32 pred, then the device's chain
+
+        if noise_mode == 0:
+            pn = p
+        else:
+            gauss = np.asarray(gauss_fut)
+            if noise_mode == 2:
+                sigma_ev = np.concatenate(
+                    [sigma_q.astype(np.float32) * sigma_scale_pa,
+                     np.full((B, 1), sigma_tail_pa, np.float32)], axis=1,
+                )  # (B, K+1) pA
+                sigma_f = np.take_along_axis(sigma_ev, seg, 1)
+            else:
+                sigma_f = np.float32(knobs.noise_std)
+            pn = np.where(p != 0.0, p + gauss * sigma_f, p)
+            np.maximum(pn, np.float32(0.0), out=pn)
+        keep = pn != 0.0
+        keep &= read_idx[:, None] >= 0
+        out_f = (pn * dig) / rng_f - offset
+        np.rint(out_f, out=out_f)
+        counts = keep.sum(axis=1).astype(np.int32)
+        res = out_f[keep].astype(np.int16), counts
+        self.timers["rebuild"] += _time.perf_counter() - _t
+        return res

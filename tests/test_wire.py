@@ -104,7 +104,7 @@ def test_packed_predict_matches_raw(bits):
     np.testing.assert_array_equal(sig_packed[mask], sig_raw[mask])
 
 
-@pytest.mark.parametrize("bits", [4, 8, 12, 16])
+@pytest.mark.parametrize("bits", [2, 4, 8, 12, 16])
 def test_framed_wire_roundtrip(bits):
     """Single-buffer framing (one D2H fetch per batch): framed outputs must
     unframe to exactly the unframed outputs — this pins the device bitcast
@@ -112,7 +112,9 @@ def test_framed_wire_roundtrip(bits):
     from seq2squiggle_tpu.runtime.wire import unframe_wire
 
     cfg = load_config(None)
-    cfg["compute_dtype"] = "float32"
+    # the ULP tier packs the decoder's raw bf16 bits; other tiers are
+    # dtype-agnostic (f32 keeps the reference parity oracle exact)
+    cfg["compute_dtype"] = "bfloat16" if bits == 2 else "float32"
     params = init_params(cfg, jax.random.key(0))
     rng = np.random.default_rng(5)
     B = 16
@@ -243,6 +245,132 @@ def test_event_tier_batch_invariance():
         )
 
 
+def _trained_bf16():
+    params, cfg = _trained()
+    cfg["compute_dtype"] = "bfloat16"
+    return params, cfg
+
+
+@pytest.mark.parametrize(
+    "knobs_kw",
+    [
+        dict(noise_std=0.0, noise_sampling=False, duration_sampling=True),
+        dict(noise_std=1.5, noise_sampling=False, duration_sampling=True),
+    ],
+)
+def test_ulp_tier_bit_exact_vs_raw(knobs_kw):
+    """ULP tier (tier 2): the host rebuilds the decoder's EXACT bf16 output
+    and replays the device digitisation chain, so noise-free and
+    static-noise batches must be BIT-IDENTICAL to the raw tier (the jax
+    noise path draws the same threefry normals the device would)."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained_bf16()
+    rng = np.random.default_rng(7)
+    B = 48
+    codes = rng.integers(0, 5, (B, 16, 9)).astype(np.uint8)
+    ridx = np.arange(B, dtype=np.int32)
+    ridx[-2:] = -1  # padding rows contribute nothing
+    coff = np.zeros(B, np.int32)
+    key = jax.random.key(11)
+
+    fn_raw = make_predict_fn(cfg, PredictKnobs(wire_bits=16, **knobs_kw))
+    sig_raw, counts_raw = map(np.asarray,
+                              fn_raw(params, codes, ridx, coff, key))
+
+    knobs2 = PredictKnobs(wire_bits=2, **knobs_kw)
+    outs = make_predict_fn(cfg, knobs2)(params, codes, ridx, coff, key)
+    assert int(np.asarray(outs[7]).max()) <= WIRE_EXC_SLOTS[2]
+    flat2, counts2 = EventWireDecoder(
+        knobs2, key, use_native=False, frames=250
+    )(outs, ridx, coff)
+
+    np.testing.assert_array_equal(counts_raw, counts2)
+    mask = np.arange(250)[None] < counts_raw[:, None]
+    np.testing.assert_array_equal(flat2, sig_raw[mask])
+
+
+def test_ulp_tier_sampled_noise_within_one_count():
+    """With per-event sampled noise the sigma wire field is quantised to
+    quarter ADC counts: samples may differ from the raw tier by at most 1
+    count, with counts and zero-stripping exact."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained_bf16()
+    rng = np.random.default_rng(13)
+    B = 48
+    codes = rng.integers(0, 5, (B, 16, 9)).astype(np.uint8)
+    ridx = np.arange(B, dtype=np.int32)
+    coff = np.zeros(B, np.int32)
+    key = jax.random.key(17)
+    kw = dict(noise_std=1.0, noise_sampling=True, duration_sampling=True)
+
+    fn_raw = make_predict_fn(cfg, PredictKnobs(wire_bits=16, **kw))
+    sig_raw, counts_raw = map(np.asarray,
+                              fn_raw(params, codes, ridx, coff, key))
+
+    knobs2 = PredictKnobs(wire_bits=2, **kw)
+    outs = make_predict_fn(cfg, knobs2)(params, codes, ridx, coff, key)
+    assert int(np.asarray(outs[7]).max()) <= WIRE_EXC_SLOTS[2]
+    flat2, counts2 = EventWireDecoder(
+        knobs2, key, use_native=False, frames=250
+    )(outs, ridx, coff)
+
+    np.testing.assert_array_equal(counts_raw, counts2)
+    mask = np.arange(250)[None] < counts_raw[:, None]
+    diff = np.abs(flat2.astype(np.int32) - sig_raw[mask].astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.9
+
+
+def test_ulp_tier_batch_invariance():
+    """Like the 4-bit tier, the ULP tier's host noise is keyed per chunk:
+    splitting the same chunks across differently-shaped batches must be
+    bit-identical (the dp-sharding / multi-process invariant)."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained_bf16()
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 5, (48, 16, 9)).astype(np.uint8)
+    ridx = np.arange(48, dtype=np.int32) // 3
+    coff = np.arange(48, dtype=np.int32) % 3
+    key = jax.random.key(5)
+    knobs = PredictKnobs(wire_bits=2, noise_std=1.0, noise_sampling=True,
+                         duration_sampling=True)
+    fn = make_predict_fn(cfg, knobs)
+    dec = EventWireDecoder(knobs, key, frames=250)
+
+    flat_full, counts_full = dec(fn(params, codes, ridx, coff, key), ridx, coff)
+    bounds = np.concatenate([[0], np.cumsum(counts_full)])
+    for sl in (slice(0, 16), slice(16, 48)):
+        flat, counts = dec(
+            fn(params, codes[sl], ridx[sl], coff[sl], key), ridx[sl], coff[sl]
+        )
+        np.testing.assert_array_equal(counts, counts_full[sl])
+        np.testing.assert_array_equal(
+            flat, flat_full[bounds[sl.start]:bounds[sl.stop]]
+        )
+
+
+def test_ulp_tier_overflow_detected():
+    """Sigma beyond the quarter-count uint8 field flags the row; the
+    decoder must refuse (-> tier downgrade) rather than distort noise."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    params, cfg = _trained_bf16()
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, (8, 16, 9)).astype(np.uint8)
+    ridx = np.arange(8, dtype=np.int32)
+    coff = np.zeros(8, np.int32)
+    key = jax.random.key(2)
+    knobs = PredictKnobs(wire_bits=2, noise_std=40.0, noise_sampling=True,
+                         duration_sampling=True)
+    outs = make_predict_fn(cfg, knobs)(params, codes, ridx, coff, key)
+    assert int(np.asarray(outs[7]).max()) > WIRE_EXC_SLOTS[2]
+    with pytest.raises(RuntimeError, match="exception overflow"):
+        EventWireDecoder(knobs, key, frames=250)(outs, ridx, coff)
+
+
 def test_event_tier_overflow_detected():
     """Absurd noise scales overflow the uint8 sigma field; the decoder must
     refuse (-> tier downgrade) rather than ship distorted noise."""
@@ -370,6 +498,76 @@ def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
     fb, cb = EventWireDecoder(knobs, key, use_native=False)(outs, ridx, coff)
     np.testing.assert_array_equal(ca, cb)
     np.testing.assert_array_equal(fa, fb)
+
+
+def _ulp_case(seed=31):
+    """Synthetic but structurally valid ULP-tier wire arrays: random 2-bit
+    symbol streams (escapes included), bf16-bit levels in the trained
+    weights' value range, random boundaries/escape nibbles/exceptions,
+    padding rows."""
+    from seq2squiggle_tpu.runtime.predict import WIRE_ESC_SLOTS
+
+    rng = np.random.default_rng(seed)
+    B, T, K, E = 96, 250, 16, WIRE_EXC_SLOTS[2]
+    stream = rng.integers(0, 256, (B, (T + 3) // 4)).astype(np.uint8)
+    # bf16 bits of values around the trained decoder's output (~0.2-1.2)
+    levels = (rng.integers(0x3E00, 0x3FA0, (B, K + 1))).astype(np.uint16)
+    sigma_q = rng.integers(0, 256, (B, K)).astype(np.uint8)
+    ends = np.cumsum(rng.integers(2, 25, (B, K)), axis=1)
+    ends = np.minimum(ends, T).astype(np.uint8)
+    esc = rng.integers(0, 256, (B, WIRE_ESC_SLOTS // 2)).astype(np.uint8)
+    exc_pos = rng.integers(0, T, (B, E)).astype(np.uint8)
+    exc_val = rng.integers(-4, 5, (B, E)).astype(np.int16)
+    n_exc = np.full(B, E, np.int32)
+    ridx = rng.integers(-1, 50, B).astype(np.int32)
+    coff = rng.integers(0, 8, B).astype(np.int32)
+    outs = (stream, levels, sigma_q, ends, esc, exc_pos, exc_val, n_exc)
+    return outs, ridx, coff
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+@pytest.mark.parametrize(
+    "noise_std,noise_sampling",
+    [(0.0, False), (1.5, False), (1.0, True)],
+)
+def test_native_ulp_decode_matches_numpy(noise_std, noise_sampling):
+    """The C++ ulp_event_wire_decode must be bit-identical to the numpy
+    fallback across all noise modes given the same noise bits — same bf16
+    bit reconstruction, same f32 operation order (fp-contract pinned off),
+    same round-half-to-even digitisation — including escape-slot
+    saturation, padding rows, and exception residuals."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    outs, ridx, coff = _ulp_case()
+    knobs = PredictKnobs(wire_bits=2, noise_std=noise_std,
+                         noise_sampling=noise_sampling)
+    key = jax.random.key(5)
+    fa, ca = EventWireDecoder(knobs, key, use_native=True,
+                              native_noise=False, frames=250)(outs, ridx, coff)
+    fb, cb = EventWireDecoder(knobs, key, use_native=False,
+                              frames=250)(outs, ridx, coff)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(fa, fb)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_native_ulp_decode_native_noise_within_one_count():
+    """With the C++ threefry fill the regenerated normals differ from
+    jax.random.normal only at float-rounding level; decoded samples stay
+    within the tier's 1-ADC-count contract."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    outs, ridx, coff = _ulp_case(37)
+    knobs = PredictKnobs(wire_bits=2, noise_std=1.0, noise_sampling=True)
+    key = jax.random.key(42)
+    fa, ca = EventWireDecoder(knobs, key, use_native=True,
+                              native_noise=True, frames=250)(outs, ridx, coff)
+    fb, cb = EventWireDecoder(knobs, key, use_native=True,
+                              native_noise=False, frames=250)(outs, ridx, coff)
+    np.testing.assert_array_equal(ca, cb)
+    diff = np.abs(fa.astype(np.int32) - fb.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999
 
 
 @pytest.mark.skipif(not _native_available(), reason="no native toolchain")
