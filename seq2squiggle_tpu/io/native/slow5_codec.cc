@@ -194,28 +194,35 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
 // ULP event tier (wire_bits=2): bf16 event levels + 2-bit ULP deltas ->
 // digitised int16 samples, front-compacted with per-row counts. The stream
 // carries four 2-bit symbols per byte (0=+0, 1=+1 ULP, 2=-1 ULP,
-// 3=escape); escapes consume 4-bit nibbles from `esc` in stream order;
-// exception slots add residuals beyond the escape range. The rebuilt
-// ordinal IS the bf16 bit pattern of the decoder output, so this replays
-// the device's digitisation chain on exact values (see
+// 3=escape); escapes consume 4-bit nibbles from the BATCH-FLAT `esc`
+// buffer starting at the row's esc_off (nibble value 8 marks a wide jump
+// whose exact i32 value sits in the batch-flat `wide` buffer at the
+// row's wide_off). Under device data-parallelism the flat buffers are
+// per-shard (B_s rows each, cap_esc_s nibbles / cap_wide_s slots), so
+// indices rebase by the row's shard. The rebuilt ordinal IS the bf16 bit
+// pattern of the decoder output, so this replays the device's
+// digitisation chain on exact values (see
 // runtime/predict._pack_event_wire_ulp). fp-contract is pinned off so
 // float rounding matches the numpy oracle bit-for-bit (an FMA in
-// p + g*sigma would round differently). Returns total samples written.
+// p + g*sigma would round differently). Returns total samples written,
+// or SIZE_MAX if an escape/wide index leaves its shard's buffer (device
+// overflow -> caller recomputes the batch raw).
 __attribute__((optimize("-ffp-contract=off")))
 size_t ulp_event_wire_decode(
     const uint8_t* stream,    // (B, ceil(T/4)) packed 2-bit symbols
     const uint16_t* levels,   // (B, K+1) raw bf16 bits at event starts
     const uint8_t* sigma_q,   // (B, K) quarter-ADC-count stdevs
     const uint8_t* ends,      // (B, K) non-decreasing boundaries
-    const uint8_t* esc,       // (B, EB) packed 4-bit escape deltas
-    const uint8_t* exc_pos,   // (B, E)
-    const int16_t* exc_val,   // (B, E)
+    const uint8_t* esc,       // batch-flat packed 4-bit escape deltas
+    const uint32_t* esc_off,  // (B,) first nibble index (shard-local)
+    const int32_t* wide,      // batch-flat wide-jump ordinal deltas
+    const uint16_t* wide_off, // (B,) first wide slot (shard-local)
     const float* gauss,       // (B, T) or NULL
     const int32_t* read_idx,  // (B,)
-    size_t B, size_t T, size_t K, size_t E, size_t EB,
-    int noise_mode, float sigma_scale_pa, float sigma_tail_pa,
-    float static_sigma, float scale_s, float dig, float rng,
-    float offset_mean, int16_t* flat_out, int32_t* counts) {
+    size_t B, size_t T, size_t K, size_t B_s, size_t cap_esc_s,
+    size_t cap_wide_s, int noise_mode, float sigma_scale_pa,
+    float sigma_tail_pa, float static_sigma, float scale_s, float dig,
+    float rng, float offset_mean, int16_t* flat_out, int32_t* counts) {
   const size_t W = (T + 3) / 4;
   size_t pos = 0;
   for (size_t r = 0; r < B; ++r) {
@@ -223,22 +230,19 @@ size_t ulp_event_wire_decode(
     const uint16_t* lv = levels + r * (K + 1);
     const uint8_t* sq = sigma_q + r * K;
     const uint8_t* en = ends + r * K;
-    const uint8_t* er = esc + r * EB;
     const float* g = gauss ? gauss + r * T : nullptr;
     const bool row_live = read_idx[r] >= 0;
-
-    int32_t corr[256];
-    std::memset(corr, 0, sizeof(corr));
-    {
-      const uint8_t* ep = exc_pos + r * E;
-      const int16_t* ev = exc_val + r * E;
-      for (size_t e = 0; e < E; ++e) corr[ep[e]] += (int32_t)ev[e];
-    }
+    const size_t shard = r / B_s;
+    const size_t esc_base = shard * cap_esc_s;
+    const size_t esc_end = esc_base + cap_esc_s;
+    const size_t wide_base = shard * cap_wide_s;
+    const size_t wide_end = wide_base + cap_wide_s;
 
     size_t seg = 0;
     int32_t C = 0;
     int32_t Cstart = 0;
-    size_t esc_rank = 0;
+    size_t ei = esc_base + esc_off[r];
+    size_t wi = wide_base + wide_off[r];
     int32_t n_keep = 0;
     for (size_t t = 0; t < T; ++t) {
       while (seg < K && (size_t)en[seg] <= t) ++seg;
@@ -246,17 +250,19 @@ size_t ulp_event_wire_decode(
       const int sym = (s[t >> 2] >> ((t & 3) * 2)) & 3;
       int32_t d;
       if (sym == 3) {
-        // Clamp like the numpy oracle: rows with more escapes than slots
-        // are flagged by the device (n_exc overflow) and never decoded in
-        // production, but synthetic parity tests feed random streams.
-        const size_t ei = esc_rank < 2 * EB ? esc_rank : 2 * EB - 1;
-        const uint8_t nb = (ei & 1) ? (er[ei >> 1] >> 4) : (er[ei >> 1] & 0xF);
-        ++esc_rank;
-        d = (int32_t)nb - 8;
+        if (ei >= esc_end) return (size_t)-1;
+        const uint8_t nb = (ei & 1) ? (esc[ei >> 1] >> 4) : (esc[ei >> 1] & 0xF);
+        ++ei;
+        if (nb == 8) {  // wide-jump marker
+          if (wi >= wide_end) return (size_t)-1;
+          d = wide[wi++];
+        } else {
+          d = (int32_t)nb - 8;
+        }
       } else {
         d = (sym == 1) - (sym == 2);
       }
-      d = is_start ? 0 : (d + corr[t]);
+      if (is_start) d = 0;
       C += d;
       if (is_start) Cstart = C;
       const uint32_t ub = ((uint32_t)(uint16_t)((int32_t)lv[seg] + C - Cstart))

@@ -354,6 +354,7 @@ def simulate_run(
                     EventWireDecoder(
                         dataclasses_replace_wire(knobs, bits), base_key,
                         frames=T_row,
+                        dp_shards=len(devices) if device_dp else 1,
                     )
                 )
             try:

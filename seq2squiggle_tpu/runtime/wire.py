@@ -143,13 +143,15 @@ class EventWireDecoder:
     """
 
     def __init__(self, knobs: PredictKnobs, base_key, use_native: bool = True,
-                 native_noise: bool = True, frames: int = None):
+                 native_noise: bool = True, frames: int = None,
+                 dp_shards: int = 1):
         self._knobs = knobs
         self._cpu = jax.devices("cpu")[0]
         self._base_key = jax.device_put(base_key, self._cpu)
         self._use_native = use_native
         self._native_noise = native_noise
         self._frames = frames  # required for the ULP tier (stream pads to 4)
+        self._dp_shards = dp_shards  # ULP flat buffers are per-shard
         kd = np.asarray(jax.random.key_data(base_key)).astype(np.uint32)
         self._key_words = (int(kd[0]), int(kd[1]))
 
@@ -344,20 +346,25 @@ class EventWireDecoder:
         float-rounding-level noise deviations, still inside 1 count).
         """
         knobs = self._knobs
-        stream, levels, sigma_q, ends, esc, exc_pos, exc_val, n_exc = (
+        stream, levels, sigma_q, ends, esc, esc_off, wide, wide_off, flags = (
             np.asarray(o) for o in outs
         )
-        max_exc = int(np.max(n_exc)) if n_exc.size else 0
-        if max_exc > WIRE_EXC_SLOTS[2]:
+        if flags.any():
             raise RuntimeError(
-                f"wire-format exception overflow: a row produced {max_exc} "
-                f"out-of-range values (> {WIRE_EXC_SLOTS[2]} slots at the "
-                f"ULP event tier)"
+                "wire-format exception overflow: the device flagged "
+                f"{int((flags != 0).sum())} rows (sigma field or batch "
+                "escape-buffer overflow at the ULP event tier)"
             )
         B = stream.shape[0]
         T = self._frames if self._frames is not None else stream.shape[1] * 4
         self._T = T
         rows = np.arange(B, dtype=np.intp)[:, None]
+        # dp-sharded batches concatenate per-shard flat escape/wide buffers;
+        # offsets are shard-local, so rebase by each row's shard.
+        dp = self._dp_shards
+        B_s = B // dp
+        cap_esc_s = esc.size * 2 // dp  # nibbles per shard
+        cap_wide_s = wide.size // dp
 
         import time as _time
 
@@ -415,23 +422,30 @@ class EventWireDecoder:
             _t = _time.perf_counter()
             flat = np.empty(B * T, np.int16)
             counts = np.empty(B, np.int32)
+            u32p = ctypes.POINTER(ctypes.c_uint32)
             total = lib.ulp_event_wire_decode(
                 np.ascontiguousarray(stream).ctypes.data_as(u8p),
                 np.ascontiguousarray(levels).ctypes.data_as(u16p),
                 np.ascontiguousarray(sigma_q).ctypes.data_as(u8p),
                 np.ascontiguousarray(ends).ctypes.data_as(u8p),
                 np.ascontiguousarray(esc).ctypes.data_as(u8p),
-                np.ascontiguousarray(exc_pos).ctypes.data_as(u8p),
-                np.ascontiguousarray(exc_val).ctypes.data_as(i16p),
+                np.ascontiguousarray(esc_off).ctypes.data_as(u32p),
+                np.ascontiguousarray(wide).ctypes.data_as(i32p),
+                np.ascontiguousarray(wide_off).ctypes.data_as(u16p),
                 gauss.ctypes.data_as(f32p) if gauss is not None else None,
                 ridx.ctypes.data_as(i32p),
-                B, T, K, exc_pos.shape[1], esc.shape[1],
+                B, T, K, B_s, cap_esc_s, cap_wide_s,
                 noise_mode, sigma_scale_pa, sigma_tail_pa,
                 np.float32(knobs.noise_std), scale_s, dig, rng_f, offset,
                 flat.ctypes.data_as(i16p),
                 counts.ctypes.data_as(i32p),
             )
             self.timers["rebuild"] += _time.perf_counter() - _t
+            if total == ctypes.c_size_t(-1).value:
+                raise RuntimeError(
+                    "wire-format exception overflow: escape buffer bounds "
+                    "exceeded at the ULP event tier"
+                )
             return flat[:total], counts
 
         # ---- numpy fallback (parity oracle) ----
@@ -444,16 +458,39 @@ class EventWireDecoder:
         d = (sym == 1).astype(np.int32) - (sym == 2).astype(np.int32)
         is_esc = sym == 3
         esc_i = is_esc.astype(np.int32)
-        rank = np.cumsum(esc_i, axis=1) - esc_i  # exclusive rank
-        nib = np.empty((B, esc.shape[1] * 2), np.uint8)
-        nib[:, 0::2] = esc & 0xF
-        nib[:, 1::2] = esc >> 4
-        esc_vals = np.take_along_axis(
-            nib, np.minimum(rank, nib.shape[1] - 1).astype(np.intp), axis=1
-        ).astype(np.int32) - 8
-        d = np.where(is_esc, esc_vals, d)
-        np.add.at(d, (rows, exc_pos.astype(np.intp)),
-                  exc_val.astype(np.int32))
+        # Global nibble index per escape: shard base + row offset +
+        # row-local exclusive rank (row-major stream order, as packed).
+        rank = np.cumsum(esc_i, axis=1) - esc_i
+        shard = rows // B_s  # (B, 1)
+        gidx = shard * cap_esc_s + esc_off[:, None].astype(np.intp) + rank
+        if is_esc.any():
+            cap_end = (shard + 1) * cap_esc_s
+            if (gidx[is_esc] >= np.broadcast_to(cap_end, gidx.shape)[is_esc]).any():
+                raise RuntimeError(
+                    "wire-format exception overflow: escape buffer bounds "
+                    "exceeded at the ULP event tier"
+                )
+        nib_flat = np.empty(esc.size * 2, np.uint8)
+        esc_flat = esc.reshape(-1)
+        nib_flat[0::2] = esc_flat & 0xF
+        nib_flat[1::2] = esc_flat >> 4
+        esc_vals = nib_flat[np.minimum(gidx, nib_flat.size - 1)].astype(
+            np.int32
+        ) - 8
+        is_wide = is_esc & (esc_vals == 0)  # nibble 8 marks a wide jump
+        wide_i = is_wide.astype(np.int32)
+        wrank = np.cumsum(wide_i, axis=1) - wide_i
+        gwidx = shard * cap_wide_s + wide_off[:, None].astype(np.intp) + wrank
+        if is_wide.any():
+            cap_end = (shard + 1) * cap_wide_s
+            if (gwidx[is_wide]
+                    >= np.broadcast_to(cap_end, gwidx.shape)[is_wide]).any():
+                raise RuntimeError(
+                    "wire-format exception overflow: wide-jump buffer "
+                    "bounds exceeded at the ULP event tier"
+                )
+        wide_vals = wide.reshape(-1)[np.minimum(gwidx, wide.size - 1)]
+        d = np.where(is_esc, np.where(is_wide, wide_vals, esc_vals), d)
 
         # segment machinery identical to the 4-bit tier
         ends_i = ends.astype(np.intp)

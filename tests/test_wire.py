@@ -280,7 +280,7 @@ def test_ulp_tier_bit_exact_vs_raw(knobs_kw):
 
     knobs2 = PredictKnobs(wire_bits=2, **knobs_kw)
     outs = make_predict_fn(cfg, knobs2)(params, codes, ridx, coff, key)
-    assert int(np.asarray(outs[7]).max()) <= WIRE_EXC_SLOTS[2]
+    assert not np.asarray(outs[8]).any()  # no overflow flags
     flat2, counts2 = EventWireDecoder(
         knobs2, key, use_native=False, frames=250
     )(outs, ridx, coff)
@@ -311,7 +311,7 @@ def test_ulp_tier_sampled_noise_within_one_count():
 
     knobs2 = PredictKnobs(wire_bits=2, **kw)
     outs = make_predict_fn(cfg, knobs2)(params, codes, ridx, coff, key)
-    assert int(np.asarray(outs[7]).max()) <= WIRE_EXC_SLOTS[2]
+    assert not np.asarray(outs[8]).any()  # no overflow flags
     flat2, counts2 = EventWireDecoder(
         knobs2, key, use_native=False, frames=250
     )(outs, ridx, coff)
@@ -366,7 +366,7 @@ def test_ulp_tier_overflow_detected():
     knobs = PredictKnobs(wire_bits=2, noise_std=40.0, noise_sampling=True,
                          duration_sampling=True)
     outs = make_predict_fn(cfg, knobs)(params, codes, ridx, coff, key)
-    assert int(np.asarray(outs[7]).max()) > WIRE_EXC_SLOTS[2]
+    assert np.asarray(outs[8]).any()  # sigma overflow flagged
     with pytest.raises(RuntimeError, match="exception overflow"):
         EventWireDecoder(knobs, key, frames=250)(outs, ridx, coff)
 
@@ -502,26 +502,41 @@ def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
 
 def _ulp_case(seed=31):
     """Synthetic but structurally valid ULP-tier wire arrays: random 2-bit
-    symbol streams (escapes included), bf16-bit levels in the trained
-    weights' value range, random boundaries/escape nibbles/exceptions,
-    padding rows."""
-    from seq2squiggle_tpu.runtime.predict import WIRE_ESC_SLOTS
-
+    symbol streams (~25% escapes — far denser than production, stressing
+    the flat escape/wide buffers), bf16-bit levels in the trained weights'
+    value range, consistent per-row offsets, random wide jumps, padding
+    rows."""
     rng = np.random.default_rng(seed)
-    B, T, K, E = 96, 250, 16, WIRE_EXC_SLOTS[2]
+    B, T, K = 96, 250, 16
     stream = rng.integers(0, 256, (B, (T + 3) // 4)).astype(np.uint8)
     # bf16 bits of values around the trained decoder's output (~0.2-1.2)
     levels = (rng.integers(0x3E00, 0x3FA0, (B, K + 1))).astype(np.uint16)
     sigma_q = rng.integers(0, 256, (B, K)).astype(np.uint8)
     ends = np.cumsum(rng.integers(2, 25, (B, K)), axis=1)
     ends = np.minimum(ends, T).astype(np.uint8)
-    esc = rng.integers(0, 256, (B, WIRE_ESC_SLOTS // 2)).astype(np.uint8)
-    exc_pos = rng.integers(0, T, (B, E)).astype(np.uint8)
-    exc_val = rng.integers(-4, 5, (B, E)).astype(np.int16)
-    n_exc = np.full(B, E, np.int32)
+    # offsets must match the stream's actual escape counts (row-major)
+    sym = np.empty((B, stream.shape[1] * 4), np.uint8)
+    for j in range(4):
+        sym[:, j::4] = (stream >> (2 * j)) & 3
+    n_esc = (sym[:, :T] == 3).sum(1)
+    esc_off = (np.cumsum(n_esc) - n_esc).astype(np.uint32)
+    total_esc = int(n_esc.sum())
+    nibs = rng.integers(0, 16, total_esc).astype(np.uint8)
+    pad = total_esc % 2
+    nf = np.concatenate([nibs, np.zeros(pad, np.uint8)])
+    esc = (nf[0::2] | (nf[1::2] << 4)).astype(np.uint8)
+    # nibble 8 marks wide jumps; build the wide buffer in the same order
+    esc_rows = np.repeat(np.arange(B), n_esc)
+    n_wide = np.bincount(esc_rows[nibs == 8], minlength=B)
+    wide_off = (np.cumsum(n_wide) - n_wide).astype(np.uint16)
+    total_wide = int(n_wide.sum())
+    # bounded so synthetic ordinals stay valid (non-NaN) bf16 bit patterns
+    wide = rng.integers(-6000, 6000, max(total_wide, 1)).astype(np.int32)
+    flags = np.zeros(B, np.uint8)
     ridx = rng.integers(-1, 50, B).astype(np.int32)
     coff = rng.integers(0, 8, B).astype(np.int32)
-    outs = (stream, levels, sigma_q, ends, esc, exc_pos, exc_val, n_exc)
+    outs = (stream, levels, sigma_q, ends, esc, esc_off, wide, wide_off,
+            flags)
     return outs, ridx, coff
 
 
