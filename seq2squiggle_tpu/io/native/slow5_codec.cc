@@ -404,6 +404,38 @@ static inline float vec_logf(float x) {
   return 2.0f * s * p + (float)e * 0.69314718f;
 }
 
+// Explicit 16-lane vector types (one AVX-512 zmm register each). All
+// arithmetic below is elementwise, so the whole block — threefry rounds,
+// uniform map, log, and the erfinv polynomial — stays in registers with
+// no lane inserts or stack round trips.
+typedef uint32_t v16u __attribute__((vector_size(64)));
+typedef int32_t v16i __attribute__((vector_size(64)));
+typedef float v16f __attribute__((vector_size(64)));
+
+static inline v16f vbitcast_f(v16u x) {
+  v16f r;
+  std::memcpy(&r, &x, sizeof(r));
+  return r;
+}
+
+static inline v16u vbitcast_u(v16f x) {
+  v16u r;
+  std::memcpy(&r, &x, sizeof(r));
+  return r;
+}
+
+// vec_logf, 16 lanes at a time (same operations, same rounding).
+static inline v16f vlog_v16(v16f x) {
+  v16u xi = vbitcast_u(x);
+  const v16i e = (v16i)(xi - 0x3F3504F3u) >> 23;
+  xi -= (v16u)(e << 23);
+  const v16f m = vbitcast_f(xi);
+  const v16f s = (m - 1.0f) / (m + 1.0f);
+  const v16f t = s * s;
+  const v16f p = 1.0f + t * (0.33333333f + t * (0.2f + t * 0.14285714f));
+  return 2.0f * s * p + __builtin_convertvector(e, v16f) * 0.69314718f;
+}
+
 // Fill (B, T) float32 with the per-chunk standard normals of
 // runtime/wire.EventWireDecoder. Key chain per row r:
 //   k = fold_in(fold_in(fold_in(base, read_idx[r]), chunk_off[r]), 2)
@@ -411,15 +443,16 @@ static inline float vec_logf(float x) {
 // jax 0.4.x: _threefry_random_bits_partitionable): the i-th 32-bit word
 // is o0 ^ o1 of threefry2x32(key, hi(i)=0, lo(i)=i).
 //
-// The counter loop runs in 16-lane blocks of plain arrays so gcc
-// vectorizes the threefry rounds and the uniform->normal transform
-// (AVX-512: 16 uint32 lanes; measured ~7x over the scalar loop).
+// The counter loop runs in explicit 16-lane vector registers end to end;
+// only w and u spill (for the rare w >= 5 scalar fixup, ~2 draws in 10k).
 void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
                           const int32_t* read_idx, const int32_t* chunk_off,
                           size_t B, size_t T, float* out) {
   constexpr size_t L = 16;
   static const int R0[4] = {13, 15, 26, 6};
   static const int R1[4] = {17, 29, 16, 24};
+  const v16u IOTA = {0, 1, 2,  3,  4,  5,  6,  7,
+                     8, 9, 10, 11, 12, 13, 14, 15};
   for (size_t r = 0; r < B; ++r) {
     uint32_t k0, k1;
     fold_in(base_k0, base_k1, (uint32_t)read_idx[r], k0, k1);
@@ -430,16 +463,10 @@ void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
     float* o = out + r * T;
     for (size_t base = 0; base < T; base += L) {
       const size_t n = (T - base < L) ? (T - base) : L;
-      // All lanes always compute (fixed trip counts vectorize without
-      // runtime masks; surplus tail-lane counters are simply not stored).
-      // GCC vector types keep the whole 20-round schedule in two zmm
-      // registers instead of round-tripping lane arrays through memory.
-      typedef uint32_t v16u __attribute__((vector_size(L * 4)));
-      v16u v0, v1;
-      for (size_t j = 0; j < L; ++j) {
-        v0[j] = k0;
-        v1[j] = (uint32_t)(base + j) + k1;
-      }
+      // All lanes always compute; surplus tail-lane draws are not stored.
+      v16u v0 = IOTA ^ IOTA;  // zero vector
+      v0 += k0;
+      v16u v1 = IOTA + ((uint32_t)base + k1);
       for (int g = 0; g < 5; ++g) {
         const int* R = (g % 2 == 0) ? R0 : R1;
         for (int i = 0; i < 4; ++i) {
@@ -450,55 +477,48 @@ void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
         v0 += ks[(g + 1) % 3];
         v1 += ks[(g + 2) % 3] + (uint32_t)(g + 1);
       }
-      uint32_t x0[L], x1[L];
-      std::memcpy(x0, &v0, sizeof(x0));
-      std::memcpy(x1, &v1, sizeof(x1));
-      // Branch-free transform so the whole loop vectorizes; the rare
-      // w >= 5 tail (|u| > ~0.9998, ~2 draws in 10k) is fixed up scalar.
-      float res[L];
-      float uu[L];
-      float ww[L];
-      int n_big = 0;
-#pragma omp simd reduction(+ : n_big)
-      for (size_t j = 0; j < L; ++j) {
-        const uint32_t bits = ((x0[j] ^ x1[j]) >> 9) | 0x3F800000u;
-        float fb;
-        std::memcpy(&fb, &bits, 4);
-        const float f = fb - 1.0f;
-        const float lo = -0.99999994f;  // nextafterf(-1, 0)
-        float u = f * (1.0f - lo) + lo;
-        u = (u < lo) ? lo : u;
-        const float w = -vec_logf(1.0f - u * u);
-        uu[j] = u;
-        ww[j] = w;
-        n_big += (w >= 5.0f);
-        float wp = w - 2.5f;
-        float p = 2.81022636e-08f;
-        p = 3.43273939e-07f + p * wp;
-        p = -3.5233877e-06f + p * wp;
-        p = -4.39150654e-06f + p * wp;
-        p = 0.00021858087f + p * wp;
-        p = -0.00125372503f + p * wp;
-        p = -0.00417768164f + p * wp;
-        p = 0.246640727f + p * wp;
-        p = 1.50140941f + p * wp;
-        res[j] = 1.4142135f * p * u;
-      }
-      for (size_t j = 0; j < n; ++j) o[base + j] = res[j];
-      if (n_big) {
+      const v16u bits = ((v0 ^ v1) >> 9) | 0x3F800000u;
+      const float lo = -0.99999994f;  // nextafterf(-1, 0)
+      const v16f f = vbitcast_f(bits) - 1.0f;
+      v16f u = f * (1.0f - lo) + lo;
+      u = (u < lo) ? (f * 0.0f + lo) : u;  // lanewise select
+      const v16f w = -vlog_v16(1.0f - u * u);
+      const v16f wp = w - 2.5f;
+      v16f p = wp * 0.0f + 2.81022636e-08f;
+      p = 3.43273939e-07f + p * wp;
+      p = -3.5233877e-06f + p * wp;
+      p = -4.39150654e-06f + p * wp;
+      p = 0.00021858087f + p * wp;
+      p = -0.00125372503f + p * wp;
+      p = -0.00417768164f + p * wp;
+      p = 0.246640727f + p * wp;
+      p = 1.50140941f + p * wp;
+      const v16f res = 1.4142135f * p * u;
+      float rt[L];
+      std::memcpy(rt, &res, sizeof(rt));
+      for (size_t j = 0; j < n; ++j) o[base + j] = rt[j];
+      // Rare w >= 5 tail (|u| > ~0.9998): scalar fixup with the far-tail
+      // polynomial. Horizontal check via one compare spill.
+      const v16i big = w >= 5.0f;
+      int any = 0;
+      for (size_t j = 0; j < L; ++j) any |= big[j];
+      if (any) {
+        float wt[L], ut[L];
+        std::memcpy(wt, &w, sizeof(wt));
+        std::memcpy(ut, &u, sizeof(ut));
         for (size_t j = 0; j < n; ++j) {
-          if (ww[j] >= 5.0f) {
-            float w = std::sqrt(ww[j]) - 3.0f;
-            float p = -0.000200214257f;
-            p = 0.000100950558f + p * w;
-            p = 0.00134934322f + p * w;
-            p = -0.00367342844f + p * w;
-            p = 0.00573950773f + p * w;
-            p = -0.0076224613f + p * w;
-            p = 0.00943887047f + p * w;
-            p = 1.00167406f + p * w;
-            p = 2.83297682f + p * w;
-            o[base + j] = 1.4142135f * p * uu[j];
+          if (wt[j] >= 5.0f) {
+            float ws = std::sqrt(wt[j]) - 3.0f;
+            float q = -0.000200214257f;
+            q = 0.000100950558f + q * ws;
+            q = 0.00134934322f + q * ws;
+            q = -0.00367342844f + q * ws;
+            q = 0.00573950773f + q * ws;
+            q = -0.0076224613f + q * ws;
+            q = 0.00943887047f + q * ws;
+            q = 1.00167406f + q * ws;
+            q = 2.83297682f + q * ws;
+            o[base + j] = 1.4142135f * q * ut[j];
           }
         }
       }
