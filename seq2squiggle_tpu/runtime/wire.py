@@ -6,18 +6,26 @@ front-compacted int16 signal plus up to WIRE_EXC_SLOTS[bits] exact
 Reconstruction is two vectorised passes: scatter the residuals, then a
 row-wise cumulative sum.
 
-Event tier (4): the device ships the CLEAN signal's sufficient statistics
-(per-event levels/stdevs/boundaries + 4-bit within-event deltas, see
-runtime/predict._pack_event_wire); EventWireDecoder rebuilds the clean
-signal exactly and regenerates the Gaussian amplitude noise on the host
-CPU from the same per-chunk threefry keys the device path uses — the noise
-is the incompressible part of the stream, so not shipping it at all beats
-any delta width. Decoding runs as one jitted CPU-backend program per
-batch; output is deterministic and invariant to batch size and sharding,
-and within 1 ADC count of the raw tier elementwise. (Caveat: a batch
-whose rows overflow the tier's exception slots is recomputed through the
-raw tier — runtime/simulate._downgrade — so its samples are raw-exact;
-chunks co-batched differently may then differ by that same 1 count.)
+Event tiers (2/4): the device ships the CLEAN signal's sufficient
+statistics and EventWireDecoder regenerates the Gaussian amplitude noise
+on the host CPU from the same per-chunk threefry keys the device path
+uses — the noise is the incompressible part of the stream, so not
+shipping it at all beats any delta width. Output is deterministic and
+invariant to batch size and sharding.
+
+Tier 4 ships per-event digitised levels + 4-bit within-event count
+deltas (runtime/predict._pack_event_wire); the clean signal is quantised
+to integer counts BEFORE noise, so samples sit within 1 ADC count of the
+raw tier. Tier 2 ("ulp", the default under bfloat16 compute) ships raw
+bf16 BITS at event starts + 2-bit ULP deltas with batch-flat escape
+buffers (runtime/predict._pack_event_wire_ulp); the decoder's exact bf16
+output is rebuilt and the device's own f32 digitisation chain replayed,
+so noise-free and static-noise runs are BIT-IDENTICAL to the raw tier
+and sampled-noise runs stay within the 1-count sigma quantisation.
+(Caveat: a batch that overflows a tier's escape/exception budget is
+recomputed through the raw tier — runtime/simulate._downgrade — so its
+samples are raw-exact; chunks co-batched differently may then differ by
+that same 1 count.)
 """
 
 from __future__ import annotations
