@@ -290,6 +290,50 @@ def test_ulp_tier_bit_exact_vs_raw(knobs_kw):
     np.testing.assert_array_equal(flat2, sig_raw[mask])
 
 
+def test_ulp_tier_bit_exact_r9_profile():
+    """The bit-exactness proof must hold across chemistry profiles: the R9
+    checkpoint (6-mers) with R9-prom digitisation constants (digitisation
+    8192, range ~1536) exercises a different f32 digitisation chain than
+    the default R10 values."""
+    import pathlib
+
+    from seq2squiggle_tpu.models.torch_import import load_native_checkpoint
+    from seq2squiggle_tpu.profiles import get_profile
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    ckpt = pathlib.Path(__file__).parent.parent / "assets/bench-weights-R9.npz"
+    params, cfg = load_native_checkpoint(str(ckpt))
+    cfg["compute_dtype"] = "bfloat16"
+    cfg["use_pallas"] = False
+    prof = get_profile("dna-r9-prom")
+    kw = dict(
+        noise_std=0.0, noise_sampling=False, duration_sampling=True,
+        scaling_max_value=float(cfg["scaling_max_value"]),
+        digitisation=float(prof["digitisation"]),
+        signal_range=float(prof["range"]),
+        offset_mean=float(prof["offset_mean"]),
+    )
+    rng = np.random.default_rng(19)
+    B, k = 32, int(cfg["seq_kmer"])
+    codes = rng.integers(0, 5, (B, 16, k)).astype(np.uint8)
+    ridx = np.arange(B, dtype=np.int32)
+    coff = np.zeros(B, np.int32)
+    key = jax.random.key(23)
+
+    fn_raw = make_predict_fn(cfg, PredictKnobs(wire_bits=16, **kw))
+    sig_raw, counts_raw = map(np.asarray,
+                              fn_raw(params, codes, ridx, coff, key))
+    knobs2 = PredictKnobs(wire_bits=2, **kw)
+    outs = make_predict_fn(cfg, knobs2)(params, codes, ridx, coff, key)
+    assert not np.asarray(outs[8]).any()
+    flat2, counts2 = EventWireDecoder(
+        knobs2, key, frames=250
+    )(outs, ridx, coff)
+    np.testing.assert_array_equal(counts_raw, counts2)
+    mask = np.arange(250)[None] < counts_raw[:, None]
+    np.testing.assert_array_equal(flat2, sig_raw[mask])
+
+
 def test_ulp_tier_sampled_noise_within_one_count():
     """With per-event sampled noise the sigma wire field is quantised to
     quarter ADC counts: samples may differ from the raw tier by at most 1
