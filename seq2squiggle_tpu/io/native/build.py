@@ -25,12 +25,31 @@ _TRIED = False
 _SRC = os.path.join(os.path.dirname(__file__), "slow5_codec.cc")
 
 
+def _isa_tag() -> str:
+    """Host/ISA identifier folded into the cache key: the build uses
+    -march=native, so a cached AVX-512 binary must never be loaded on an
+    older CPU sharing the same home directory (SIGILL, not a fallback)."""
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("model name", "flags", "Features")):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        parts.append(platform.processor() or "")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:8]
+
+
 def _cache_path() -> str:
     with open(_SRC, "rb") as fh:
         digest = hashlib.sha256(fh.read()).hexdigest()[:16]
     d = os.path.join(os.path.expanduser("~"), ".cache", "seq2squiggle_tpu")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"libslow5codec-{digest}.so")
+    return os.path.join(d, f"libslow5codec-{digest}-{_isa_tag()}.so")
 
 
 def _compile(out_path: str) -> bool:

@@ -111,6 +111,18 @@ void delta_wire_unpack(const uint8_t* stream, const uint8_t* exc_pos,
   }
 }
 
+// Rounded digitised sample -> int16 with the shared boundary contract
+// (runtime/wire.saturate_i16): NaN -> 0, +/-inf and out-of-range clamp to
+// the int16 edges. Replaces the old (int16_t)(int32_t)nearbyintf(...) cast,
+// which was undefined behavior on NaN/huge inputs from a corrupted wire
+// buffer.
+static inline int16_t saturate_i16(float v) {
+  if (!(v == v)) return 0;  // NaN
+  if (v >= 32767.0f) return 32767;
+  if (v <= -32768.0f) return -32768;
+  return (int16_t)(int32_t)v;
+}
+
 // Event tier: per-event sufficient statistics + 4-bit within-event deltas
 // -> digitised int16 samples, front-compacted per row into flat_out with
 // per-row counts. Gaussian noise (if any) is supplied by the caller in
@@ -181,8 +193,7 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
       if (out_f != 0.0f && row_live) {
         // nearbyintf under the default FE_TONEAREST = round-half-to-even,
         // matching np.rint and the device digitisation.
-        flat_out[pos++] =
-            (int16_t)(int32_t)std::nearbyintf(out_f - offset_mean);
+        flat_out[pos++] = saturate_i16(std::nearbyintf(out_f - offset_mean));
         ++n_keep;
       }
     }
@@ -283,7 +294,7 @@ size_t ulp_event_wire_decode(
       }
       if (pn != 0.0f && row_live) {
         flat_out[pos++] =
-            (int16_t)(int32_t)std::nearbyintf((pn * dig) / rng - offset_mean);
+            saturate_i16(std::nearbyintf((pn * dig) / rng - offset_mean));
         ++n_keep;
       }
     }

@@ -229,8 +229,14 @@ def predict_step(
     # Digitisation (signal_io.py:134-138): round(sig * dig / range - offset),
     # round-half-to-even, int16. Uses the profile *mean* offset, matching the
     # reference (the per-read sampled offset only lands in file metadata).
-    signal_raw = jnp.round(
-        pred * knobs.digitisation / knobs.signal_range - knobs.offset_mean
+    # Saturate at the int16 edges instead of wrapping — the same contract as
+    # the host decoders (wire.saturate_i16 / the C++ paths), so all three
+    # produce identical samples even for out-of-range predictions.
+    signal_raw = jnp.clip(
+        jnp.round(
+            pred * knobs.digitisation / knobs.signal_range - knobs.offset_mean
+        ),
+        -32768.0, 32767.0,
     ).astype(jnp.int16)
 
     keep = pred != 0.0
@@ -272,7 +278,11 @@ def _pack_event_wire(
     stream the device path uses, so output is deterministic and invariant
     to batch size/sharding. Values may differ from the raw tier by at most
     1 ADC count (the clean signal is quantised to integer counts BEFORE
-    noise instead of after); zero-stripping semantics are exact. n_exc
+    noise instead of after). Zero-stripping matches the raw tier except in
+    the astronomically rare case of a noisy sample sitting exactly at the
+    0-clamp boundary: the sigma quantisation (and, on the native path,
+    ~1e-5 threefry float rounding) can then flip a keep/drop decision,
+    changing that read's sample count by one. n_exc
     carries overflow flags (slot overflow, sigma > 63.75 counts, level
     outside int16) so the run downgrades to a bit-lossless tier instead of
     ever shipping a lossy batch.
@@ -389,9 +399,12 @@ def _pack_event_wire_ulp(
     Because the host (runtime/wire.EventWireDecoder) rebuilds the exact
     bf16 prediction, it replays the device's own digitisation chain
     (f32 cast -> x scaling -> noise -> clamp -> x dig / range - offset ->
-    round): output is BIT-IDENTICAL to the raw tier for noise-free and
-    static-noise runs, and within 1 ADC count for sampled-noise runs
-    (the per-event stdev is quantised to quarter counts).
+    round): output is BIT-IDENTICAL to the raw tier for noise-free runs
+    (and for noisy runs decoded with the SAME noise values), and within
+    1 ADC count for sampled-noise runs (the per-event stdev is quantised
+    to quarter counts; the native threefry fill's ~1e-5 float-rounding
+    deviation can additionally flip a keep/drop decision for a sample
+    sitting exactly at the 0-clamp boundary — see _pack_event_wire).
     """
     B, T = dec.shape
     K = durations.shape[1]

@@ -264,7 +264,12 @@ def simulate_run(
     # device memory (~3 MB/batch) and applies back-pressure.
     pipeline_depth = 6
 
-    state = {"knobs": knobs, "predict_fn": predict_fn, "raw_fn": None}
+    # (predict_fn, knobs) swap as ONE tuple: the decode thread's _downgrade
+    # replaces both together, and the dispatch loop reads both from a single
+    # reference — a framed buffer is always tagged with the wire_bits of the
+    # fn that produced it (a split read could pair the old tier's buffer
+    # with the new tier's bits and mis-decode).
+    state = {"active": (predict_fn, knobs), "raw_fn": None}
 
     def dataclasses_replace_wire(k, bits=16):
         return dataclasses.replace(k, wire_bits=bits)
@@ -278,9 +283,7 @@ def simulate_run(
     def _raw_recompute(batch):
         """Re-run one batch with the raw (unpacked) wire format."""
         if state["raw_fn"] is None:
-            state["raw_fn"] = build_predict_fn(
-                dataclasses_replace_wire(state["knobs"])
-            )
+            state["raw_fn"] = build_predict_fn(dataclasses_replace_wire(knobs))
         return state["raw_fn"](
             params,
             jax.device_put(batch.codes, device),
@@ -314,7 +317,8 @@ def simulate_run(
         from .wire import unframe_wire
 
         raw_buf = np.asarray(_raw_recompute(batch))
-        if bits == state["knobs"].wire_bits:
+        _, cur_knobs = state["active"]
+        if bits == cur_knobs.wire_bits:
             overflow_counts[bits] += 1
             if overflow_counts[bits] < _DOWNGRADE_AFTER:
                 logger.warning(
@@ -329,13 +333,12 @@ def simulate_run(
                 logger.warning(
                     f"{exc} — downgrading wire format to {tier_name}."
                 )
-                state["knobs"] = dataclasses_replace_wire(
-                    state["knobs"], next_bits
-                )
-                state["predict_fn"] = (
+                new_knobs = dataclasses_replace_wire(cur_knobs, next_bits)
+                new_fn = (
                     state["raw_fn"] if next_bits == 16
-                    else build_predict_fn(state["knobs"])
+                    else build_predict_fn(new_knobs)
                 )
+                state["active"] = (new_fn, new_knobs)
         return unframe_wire(raw_buf, 16, T_row, K_row)
 
     def drain(entry):
@@ -457,7 +460,7 @@ def simulate_run(
         ridx_dev = jax.device_put(batch.read_idx, device)
         coff_dev = jax.device_put(batch.chunk_off, device)
         nk_dev = jax.device_put(batch.n_kmers, device)
-        fn = state["predict_fn"]
+        fn, knobs_now = state["active"]
         if first_batch and config.get("use_pallas", "auto") == "auto":
             # Fused-kernel support varies by backend; fall back to the pure
             # XLA path rather than failing the run.
@@ -470,9 +473,10 @@ def simulate_run(
                     f"({type(exc).__name__}); falling back to XLA blocks."
                 )
                 config = dict(config, use_pallas=False)
-                state["predict_fn"] = build_predict_fn(state["knobs"])
+                fn = build_predict_fn(knobs_now)
+                state["active"] = (fn, knobs_now)
                 state["raw_fn"] = None
-                outs = state["predict_fn"](
+                outs = fn(
                     params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev
                 )
             first_batch = False
@@ -483,7 +487,7 @@ def simulate_run(
         outs.copy_to_host_async()
         if drain_err:
             raise drain_err[0]
-        drain_queue.put((outs, batch, state["knobs"].wire_bits))
+        drain_queue.put((outs, batch, knobs_now.wire_bits))
     if timing:
         # host-side batch prep + dispatch = loop time not spent draining
         timers["dispatch"] = time.perf_counter() - t_loop0

@@ -66,6 +66,22 @@ def _native_lib():
     return load_native()
 
 
+def saturate_i16(x: np.ndarray) -> np.ndarray:
+    """Rounded f32 digitised samples -> int16 with a DEFINED boundary:
+    NaN -> 0, +/-inf and out-of-range values clamp to the int16 edges.
+
+    All three decode paths (the jitted device digitisation in
+    runtime/predict.predict_step, the C++ decoders' saturate_i16 in
+    io/native/slow5_codec.cc, and this numpy fallback) share this exact
+    contract, pinned by tests/test_wire.py::test_int16_saturation_* — a
+    corrupted wire buffer or an extreme noise draw produces clamped
+    values, never a RuntimeWarning, wrapped int, or C++ UB cast.
+    """
+    x = np.nan_to_num(x, copy=True, nan=0.0, posinf=32767.0, neginf=-32768.0)
+    np.clip(x, -32768.0, 32767.0, out=x)
+    return x.astype(np.int16)
+
+
 def unpack_wire(stream: np.ndarray, exc_pos: np.ndarray, exc_val: np.ndarray,
                 n_exc: np.ndarray, bits: int = 8,
                 use_native: bool = True) -> np.ndarray:
@@ -339,7 +355,7 @@ class EventWireDecoder:
         out_f -= knobs.offset_mean
         np.rint(out_f, out=out_f)
         counts = keep.sum(axis=1).astype(np.int32)
-        return out_f[keep].astype(np.int16), counts
+        return saturate_i16(out_f[keep]), counts
 
     def _decode_ulp(self, outs, read_idx: np.ndarray, chunk_off: np.ndarray):
         """Decode the ULP event tier (predict._pack_event_wire_ulp).
@@ -521,27 +537,32 @@ class EventWireDecoder:
 
         bits16 = ord_.astype(np.uint16)
         p = (bits16.astype(np.uint32) << 16).view(np.float32)
-        p = p * scale_s  # exact bf16 -> f32 pred, then the device's chain
+        # Corrupt wire bits may hold NaN/inf/near-max bf16 patterns; the f32
+        # chain then overflows by design and saturate_i16 defines the result
+        # (C++ float arithmetic does the same silently), so suppress numpy's
+        # intermediate-overflow warnings rather than leak them per batch.
+        with np.errstate(over="ignore", invalid="ignore"):
+            p = p * scale_s  # exact bf16 -> f32 pred, then the device's chain
 
-        if noise_mode == 0:
-            pn = p
-        else:
-            gauss = np.asarray(gauss_fut)
-            if noise_mode == 2:
-                sigma_ev = np.concatenate(
-                    [sigma_q.astype(np.float32) * sigma_scale_pa,
-                     np.full((B, 1), sigma_tail_pa, np.float32)], axis=1,
-                )  # (B, K+1) pA
-                sigma_f = np.take_along_axis(sigma_ev, seg, 1)
+            if noise_mode == 0:
+                pn = p
             else:
-                sigma_f = np.float32(knobs.noise_std)
-            pn = np.where(p != 0.0, p + gauss * sigma_f, p)
-            np.maximum(pn, np.float32(0.0), out=pn)
-        keep = pn != 0.0
-        keep &= read_idx[:, None] >= 0
-        out_f = (pn * dig) / rng_f - offset
-        np.rint(out_f, out=out_f)
-        counts = keep.sum(axis=1).astype(np.int32)
-        res = out_f[keep].astype(np.int16), counts
+                gauss = np.asarray(gauss_fut)
+                if noise_mode == 2:
+                    sigma_ev = np.concatenate(
+                        [sigma_q.astype(np.float32) * sigma_scale_pa,
+                         np.full((B, 1), sigma_tail_pa, np.float32)], axis=1,
+                    )  # (B, K+1) pA
+                    sigma_f = np.take_along_axis(sigma_ev, seg, 1)
+                else:
+                    sigma_f = np.float32(knobs.noise_std)
+                pn = np.where(p != 0.0, p + gauss * sigma_f, p)
+                np.maximum(pn, np.float32(0.0), out=pn)
+            keep = pn != 0.0
+            keep &= read_idx[:, None] >= 0
+            out_f = (pn * dig) / rng_f - offset
+            np.rint(out_f, out=out_f)
+            counts = keep.sum(axis=1).astype(np.int32)
+            res = saturate_i16(out_f[keep]), counts
         self.timers["rebuild"] += _time.perf_counter() - _t
         return res

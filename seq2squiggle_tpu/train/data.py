@@ -39,6 +39,47 @@ def _load_paths(directory: str, prefix: str) -> List[str]:
     return paths
 
 
+def _numeric_suffix(path: str) -> Optional[int]:
+    """The -NNNN numeric suffix of a batched .npy filename (reference
+    dataloader.py:577-578 extract_number), or None for bare legacy names
+    like chunks.npy."""
+    stem = os.path.basename(path).rsplit(".", 1)[0]
+    head, sep, tail = stem.rpartition("-")
+    if sep and tail.isdigit():
+        return int(tail)
+    return None
+
+
+def _check_file_pairing(groups: Dict[str, List[str]], where: str) -> None:
+    """Hard-error pairing validation across the five array kinds.
+
+    The reference's check_file_order (dataloader.py:581-608) only WARNS and
+    only compares chunks vs targets, so a missing targets-0003.npy silently
+    pairs every later chunk file with the wrong targets. Here any per-kind
+    count mismatch or numeric-suffix divergence raises instead.
+    """
+    ref_paths = groups["chunks"]
+    ref = [_numeric_suffix(p) for p in ref_paths]
+    for key in _KEYS:
+        paths = groups[key]
+        if len(paths) != len(ref_paths):
+            raise ValueError(
+                f"{where}: found {len(paths)} {key}-*.npy files but "
+                f"{len(ref_paths)} chunks-*.npy — the per-kind file lists "
+                f"must pair 1:1 (is a {key} file missing or extra?)"
+            )
+        suffixes = [_numeric_suffix(p) for p in paths]
+        if suffixes != ref:
+            bad = next(
+                i for i, (a, b) in enumerate(zip(suffixes, ref)) if a != b
+            )
+            raise ValueError(
+                f"{where}: {key} file numbering diverges from chunks at "
+                f"position {bad}: {os.path.basename(paths[bad])} does not "
+                f"pair with {os.path.basename(ref_paths[bad])}"
+            )
+
+
 def load_file_groups(
     train_dir: str,
     valid_dir: Optional[str],
@@ -53,9 +94,11 @@ def load_file_groups(
     train = {k: _load_paths(train_dir, p) for k, p in zip(_KEYS, _PREFIXES)}
     if not train["chunks"]:
         raise FileNotFoundError(f"No chunks-*.npy files found in {train_dir}")
+    _check_file_pairing(train, train_dir)
 
     if valid_dir and os.path.exists(valid_dir):
         valid = {k: _load_paths(valid_dir, p) for k, p in zip(_KEYS, _PREFIXES)}
+        _check_file_pairing(valid, valid_dir)
         return train, valid
 
     if len(train["chunks"]) < 2:

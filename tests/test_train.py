@@ -73,6 +73,39 @@ def _make_training_dir(tmp_path, cfg, n_files=3, chunks_per_file=24):
     return str(outdir)
 
 
+def test_file_pairing_mismatch_errors(tmp_path):
+    """A missing or extra per-kind .npy must hard-error, not silently
+    mispair chunks with the wrong targets (reference check_file_order,
+    dataloader.py:581-608, only warns — VERDICT r2 missing #5)."""
+    import os
+
+    from seq2squiggle_tpu.train.data import load_file_groups
+
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg, n_files=3)
+    # sanity: intact directory loads fine
+    load_file_groups(train_dir, None, 0.67, 42)
+
+    # missing one targets file -> count mismatch
+    victim = os.path.join(train_dir, "targets-0001.npy")
+    hidden = victim + ".hidden"
+    os.rename(victim, hidden)
+    with pytest.raises(ValueError, match="targets.*pair 1:1|pair 1:1.*targets"):
+        load_file_groups(train_dir, None, 0.67, 42)
+
+    # same count but diverging numbering -> suffix mismatch
+    os.rename(hidden, os.path.join(train_dir, "targets-0009.npy"))
+    with pytest.raises(ValueError, match="numbering diverges"):
+        load_file_groups(train_dir, None, 0.67, 42)
+
+    # valid_dir is checked too
+    os.rename(os.path.join(train_dir, "targets-0009.npy"), victim)
+    valid_dir = _make_training_dir(tmp_path / "v", cfg, n_files=2)
+    os.remove(os.path.join(valid_dir, "stdevs-0000.npy"))
+    with pytest.raises(ValueError, match="stdevs"):
+        load_file_groups(train_dir, valid_dir, 0.67, 42)
+
+
 def test_train_step_decreases_loss(tmp_path):
     cfg = tiny_config()
     train_dir = _make_training_dir(tmp_path, cfg)

@@ -629,6 +629,83 @@ def test_native_ulp_decode_native_noise_within_one_count():
     assert (diff == 0).mean() > 0.999
 
 
+def test_int16_saturation_device_path():
+    """Device digitisation saturates at the int16 edges instead of
+    wrapping: an absurd static noise scale must pin samples at 32767 /
+    strip them, never alias back into range (VERDICT r2 weak #3)."""
+    params, cfg = _trained()
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, (8, 16, 9)).astype(np.uint8)
+    ridx = np.arange(8, dtype=np.int32)
+    coff = np.zeros(8, np.int32)
+    key = jax.random.key(9)
+    knobs = PredictKnobs(wire_bits=16, noise_std=1e7, noise_sampling=False,
+                         duration_sampling=True)
+    sig, counts = map(np.asarray,
+                      make_predict_fn(cfg, knobs)(params, codes, ridx, coff,
+                                                  key))
+    mask = np.arange(250)[None] < counts[:, None]
+    vals = sig[mask]
+    # noise ~1e7 pA scales to ~7e7 ADC counts: every kept sample must sit
+    # at a saturation edge, and none may wrap to small magnitudes
+    assert vals.size > 0
+    assert np.isin(vals, (32767, -32768)).all()
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_int16_saturation_ulp_decoders_agree_on_corrupt_bits():
+    """Corrupted/extreme bf16 bit patterns (NaN, +inf, max-finite) in a ULP
+    wire buffer decode to the SAME defined values on the numpy and C++
+    paths — NaN -> 0, overflow clamps — with no RuntimeWarning and no UB
+    cast (ADVICE r2: wire.py:545 / nearbyintf UB)."""
+    import warnings
+
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    outs, ridx, coff = _ulp_case(41)
+    levels = outs[1].copy()
+    levels[0, :] = 0x7FC0  # NaN bf16
+    levels[1, :] = 0x7F80  # +inf
+    levels[2, :] = 0x7F7F  # max finite bf16 (~3.39e38) -> clamps to 32767
+    outs = (outs[0], levels) + outs[2:]
+    for noise_std, noise_sampling in [(0.0, False), (1.0, True)]:
+        knobs = PredictKnobs(wire_bits=2, noise_std=noise_std,
+                             noise_sampling=noise_sampling)
+        key = jax.random.key(5)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # the old cast warned here
+            fb, cb = EventWireDecoder(knobs, key, use_native=False,
+                                      frames=250)(outs, ridx, coff)
+        fa, ca = EventWireDecoder(knobs, key, use_native=True,
+                                  native_noise=False, frames=250)(
+                                      outs, ridx, coff)
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_array_equal(fa, fb)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_int16_saturation_event_decoders_agree_on_extremes():
+    """Event-tier (4-bit) decode with near-range levels and a maxed sigma
+    field: noisy samples crossing the int16 edge clamp identically on the
+    numpy and C++ paths."""
+    from seq2squiggle_tpu.runtime.wire import EventWireDecoder
+
+    outs, ridx, coff = _event_case(43)
+    levels = outs[1].copy()
+    levels[:8, :] = 32700  # one noisy sigma step crosses 32767
+    sigma_q = outs[2].copy()
+    sigma_q[:8, :] = 255
+    outs = (outs[0], levels, sigma_q) + outs[3:]
+    knobs = PredictKnobs(wire_bits=4, noise_std=8.0, noise_sampling=True)
+    key = jax.random.key(7)
+    fa, ca = EventWireDecoder(knobs, key, use_native=True,
+                              native_noise=False)(outs, ridx, coff)
+    fb, cb = EventWireDecoder(knobs, key, use_native=False)(outs, ridx, coff)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(fa, fb)
+    assert fa.max() <= 32767  # saturated, not wrapped
+
+
 @pytest.mark.skipif(not _native_available(), reason="no native toolchain")
 def test_native_threefry_noise_matches_jax():
     """The C++ threefry normal fill replicates jax.random's fold_in chain
