@@ -135,6 +135,14 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32, ctypes.c_uint32, i32p, i32p,
             size_t, size_t, f32p,
         ]
+        lib.ulp_event_wire_decode_fused.restype = size_t
+        lib.ulp_event_wire_decode_fused.argtypes = [
+            u8p, u16p, u8p, u8p, u8p, u32p, i32p, u16p,
+            ctypes.c_uint32, ctypes.c_uint32, i32p, i32p,
+            size_t, size_t, size_t, size_t, size_t, size_t,
+            c_int, c_float, c_float, c_float, c_float, c_float, c_float,
+            c_float, i16p, i32p,
+        ]
         _LIB = lib
         logger.debug(f"native codec loaded: {path}")
         return _LIB

@@ -11,6 +11,17 @@
 #include <cstring>
 #include <zlib.h>
 
+// The ULP-tier decode walk is split into a scalar integer symbol pass and
+// an explicit 16-lane AVX-512 f32 pass (bf16 expand, noise multiply-add,
+// digitise, vpcompressw front-compaction) when the toolchain/host support
+// it; the monolithic scalar loop remains as the portable fallback and the
+// differential-test oracle (tests/test_wire.py pins both against numpy).
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__) \
+    && defined(__AVX512VBMI2__)
+#include <immintrin.h>
+#define S2S_ULP_SIMD 1
+#endif
+
 extern "C" {
 
 // Upper bound for the svb-zd encoding of n int16 samples.
@@ -202,6 +213,149 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
   return pos;
 }
 
+// ---- split ULP decode, pass 1: serial integer symbol walk ------------
+// Rebuilds one row's bf16 bit ordinals (and, for sampled noise, the
+// per-frame sigma fill) from the 2-bit symbol stream. Iterates SEGMENTS
+// instead of re-deriving the segment id per frame: segment k spans
+// [en[k-1], en[k]) (0 / T at the edges), its start frame takes lv[k]
+// verbatim (consuming a possible escape, as the packer's stream order
+// demands), and in-segment frames accumulate deltas. Identical wrap-on-
+// store semantics to the monolithic loop. Returns false on escape/wide
+// buffer bounds violation (device overflow -> caller recomputes raw).
+static bool ulp_row_rebuild(const uint8_t* s, const uint16_t* lv,
+                            const uint8_t* en, const uint8_t* sq,
+                            const uint8_t* esc, size_t esc_end,
+                            const int32_t* wide, size_t wide_end, size_t T,
+                            size_t K, size_t ei, size_t wi, uint16_t* ord,
+                            float* sigma_f, float sigma_scale_pa,
+                            float sigma_tail_pa) {
+  size_t start = 0;
+  for (size_t seg = 0; seg <= K; ++seg) {
+    size_t end = (seg < K) ? (size_t)en[seg] : T;
+    if (end > T) end = T;
+    if (end < start) end = start;  // defensive: ends are non-decreasing
+    if (sigma_f) {
+      const float sv = (seg < K) ? (float)sq[seg] * sigma_scale_pa
+                                 : sigma_tail_pa;
+      for (size_t t = start; t < end; ++t) sigma_f[t] = sv;
+    }
+    int32_t cur = (int32_t)lv[seg];
+    for (size_t t = start; t < end; ++t) {
+      const int sym = (s[t >> 2] >> ((t & 3) * 2)) & 3;
+      int32_t d;
+      if (sym == 3) {
+        if (ei >= esc_end) return false;
+        const uint8_t nb =
+            (ei & 1) ? (esc[ei >> 1] >> 4) : (esc[ei >> 1] & 0xF);
+        ++ei;
+        if (nb == 8) {  // wide-jump marker
+          if (wi >= wide_end) return false;
+          d = wide[wi++];
+        } else {
+          d = (int32_t)nb - 8;
+        }
+      } else {
+        d = (sym == 1) - (sym == 2);
+      }
+      if (t != start) cur += d;  // the start frame is lv[seg] verbatim
+      ord[t] = (uint16_t)cur;
+    }
+    start = end;
+  }
+  return true;
+}
+
+#ifdef S2S_ULP_SIMD
+// ---- split ULP decode, pass 2: 16-lane f32 pipeline ------------------
+// ord bits -> f32 -> x scale -> (+ noise, clamp) -> digitise -> saturate
+// -> vpcompressw front-compaction. Bit-parity notes vs the scalar path:
+//   * mul+add instead of FMA (the scalar path pins fp-contract off);
+//   * maxps(0, pn) == `if (pn < 0) pn = 0` including NaN (maxps returns
+//     src2 on NaN) and -0.0 (returns src2 on equal);
+//   * _CMP_NEQ_UQ == scalar `!=` (true for NaN);
+//   * clamp-to-[int16]-then-cvtps_epi32 (round-half-even) == nearbyintf-
+//     then-saturate for every finite value; NaN lanes are masked to 0,
+//     matching saturate_i16.
+// ord/sigma_f come from 16-lane-padded stack buffers (over-read safe);
+// the gauss row is loaded with a tail mask.
+static size_t ulp_row_f32_simd(const uint16_t* ord, const float* sigma_f,
+                               const float* g, size_t T, int noise_mode,
+                               float static_sigma, float scale_s, float dig,
+                               float rng, float offset_mean, int16_t* out) {
+  const __m512 vzero = _mm512_setzero_ps();
+  const __m512 vscale = _mm512_set1_ps(scale_s);
+  const __m512 vdig = _mm512_set1_ps(dig);
+  const __m512 vrng = _mm512_set1_ps(rng);
+  const __m512 voff = _mm512_set1_ps(offset_mean);
+  const __m512 vlo = _mm512_set1_ps(-32768.0f);
+  const __m512 vhi = _mm512_set1_ps(32767.0f);
+  const __m512 vsig = _mm512_set1_ps(static_sigma);
+  size_t pos = 0;
+  for (size_t t = 0; t < T; t += 16) {
+    const __mmask16 lanes = (T - t >= 16)
+                                ? (__mmask16)0xFFFF
+                                : (__mmask16)((1u << (T - t)) - 1);
+    const __m256i o16 = _mm256_loadu_si256((const __m256i*)(ord + t));
+    const __m512i o32 = _mm512_cvtepu16_epi32(o16);
+    const __m512 p = _mm512_mul_ps(
+        _mm512_castsi512_ps(_mm512_slli_epi32(o32, 16)), vscale);
+    __m512 pn;
+    if (noise_mode == 0) {
+      pn = p;
+    } else {
+      const __m512 gv = _mm512_maskz_loadu_ps(lanes, g + t);
+      const __m512 sv =
+          (noise_mode == 1) ? vsig : _mm512_loadu_ps(sigma_f + t);
+      const __mmask16 nz = _mm512_cmp_ps_mask(p, vzero, _CMP_NEQ_UQ);
+      pn = _mm512_mask_add_ps(p, nz, p, _mm512_mul_ps(gv, sv));
+      pn = _mm512_max_ps(vzero, pn);
+    }
+    const __mmask16 keep =
+        _mm512_mask_cmp_ps_mask(lanes, pn, vzero, _CMP_NEQ_UQ);
+    const __m512 x = _mm512_sub_ps(
+        _mm512_div_ps(_mm512_mul_ps(pn, vdig), vrng), voff);
+    const __mmask16 notnan = _mm512_cmp_ps_mask(x, x, _CMP_ORD_Q);
+    const __m512 xc = _mm512_min_ps(vhi, _mm512_max_ps(vlo, x));
+    const __m512i vi = _mm512_maskz_cvtps_epi32(notnan, xc);
+    const __m256i v16 = _mm512_cvtsepi32_epi16(vi);
+    _mm256_mask_compressstoreu_epi16(out + pos, keep, v16);
+    pos += (size_t)__builtin_popcount((unsigned)keep);
+  }
+  return pos;
+}
+#endif  // S2S_ULP_SIMD
+
+// ---- split ULP decode, pass 2: portable scalar fallback --------------
+// The float chain, operation for operation, of the numpy oracle
+// (runtime/wire.EventWireDecoder._decode_ulp); fp-contract pinned off so
+// gcc cannot fuse p + g*sigma into an FMA with different rounding.
+__attribute__((optimize("-ffp-contract=off")))
+static size_t ulp_row_f32_scalar(const uint16_t* ord, const float* sigma_f,
+                                 const float* g, size_t T, int noise_mode,
+                                 float static_sigma, float scale_s, float dig,
+                                 float rng, float offset_mean, int16_t* out) {
+  size_t pos = 0;
+  for (size_t t = 0; t < T; ++t) {
+    const uint32_t ub = ((uint32_t)ord[t]) << 16;
+    float f;
+    std::memcpy(&f, &ub, 4);
+    const float p = f * scale_s;  // exact bf16 pred -> pA
+    float pn;
+    if (noise_mode == 0) {
+      pn = p;
+    } else {
+      const float sigma = (noise_mode == 1) ? static_sigma : sigma_f[t];
+      pn = (p != 0.0f) ? p + g[t] * sigma : p;
+      if (pn < 0.0f) pn = 0.0f;
+    }
+    if (pn != 0.0f) {
+      out[pos++] =
+          saturate_i16(std::nearbyintf((pn * dig) / rng - offset_mean));
+    }
+  }
+  return pos;
+}
+
 // ULP event tier (wire_bits=2): bf16 event levels + 2-bit ULP deltas ->
 // digitised int16 samples, front-compacted with per-row counts. The stream
 // carries four 2-bit symbols per byte (0=+0, 1=+1 ULP, 2=-1 ULP,
@@ -235,70 +389,36 @@ size_t ulp_event_wire_decode(
     float sigma_tail_pa, float static_sigma, float scale_s, float dig,
     float rng, float offset_mean, int16_t* flat_out, int32_t* counts) {
   const size_t W = (T + 3) / 4;
+  if (T > 256) return (size_t)-1;  // caller enforces T <= 255
   size_t pos = 0;
+  uint16_t ord_buf[256 + 16];  // 16-lane over-read padding
+  float sigma_buf[256 + 16];
   for (size_t r = 0; r < B; ++r) {
-    const uint8_t* s = stream + r * W;
-    const uint16_t* lv = levels + r * (K + 1);
-    const uint8_t* sq = sigma_q + r * K;
-    const uint8_t* en = ends + r * K;
-    const float* g = gauss ? gauss + r * T : nullptr;
-    const bool row_live = read_idx[r] >= 0;
     const size_t shard = r / B_s;
-    const size_t esc_base = shard * cap_esc_s;
-    const size_t esc_end = esc_base + cap_esc_s;
-    const size_t wide_base = shard * cap_wide_s;
-    const size_t wide_end = wide_base + cap_wide_s;
-
-    size_t seg = 0;
-    int32_t C = 0;
-    int32_t Cstart = 0;
-    size_t ei = esc_base + esc_off[r];
-    size_t wi = wide_base + wide_off[r];
-    int32_t n_keep = 0;
-    for (size_t t = 0; t < T; ++t) {
-      while (seg < K && (size_t)en[seg] <= t) ++seg;
-      const bool is_start = (seg == 0) ? (t == 0) : ((size_t)en[seg - 1] == t);
-      const int sym = (s[t >> 2] >> ((t & 3) * 2)) & 3;
-      int32_t d;
-      if (sym == 3) {
-        if (ei >= esc_end) return (size_t)-1;
-        const uint8_t nb = (ei & 1) ? (esc[ei >> 1] >> 4) : (esc[ei >> 1] & 0xF);
-        ++ei;
-        if (nb == 8) {  // wide-jump marker
-          if (wi >= wide_end) return (size_t)-1;
-          d = wide[wi++];
-        } else {
-          d = (int32_t)nb - 8;
-        }
-      } else {
-        d = (sym == 1) - (sym == 2);
-      }
-      if (is_start) d = 0;
-      C += d;
-      if (is_start) Cstart = C;
-      const uint32_t ub = ((uint32_t)(uint16_t)((int32_t)lv[seg] + C - Cstart))
-                          << 16;
-      float f;
-      std::memcpy(&f, &ub, 4);
-      const float p = f * scale_s;  // exact bf16 pred -> pA
-      float pn;
-      if (noise_mode == 0) {
-        pn = p;
-      } else {
-        const float sigma =
-            (noise_mode == 2)
-                ? (seg < K ? (float)sq[seg] * sigma_scale_pa : sigma_tail_pa)
-                : static_sigma;
-        pn = (p != 0.0f) ? p + g[t] * sigma : p;
-        if (pn < 0.0f) pn = 0.0f;
-      }
-      if (pn != 0.0f && row_live) {
-        flat_out[pos++] =
-            saturate_i16(std::nearbyintf((pn * dig) / rng - offset_mean));
-        ++n_keep;
-      }
+    const bool ok = ulp_row_rebuild(
+        stream + r * W, levels + r * (K + 1), ends + r * K, sigma_q + r * K,
+        esc, shard * cap_esc_s + cap_esc_s, wide,
+        shard * cap_wide_s + cap_wide_s, T, K,
+        shard * cap_esc_s + esc_off[r], shard * cap_wide_s + wide_off[r],
+        ord_buf, noise_mode == 2 ? sigma_buf : nullptr, sigma_scale_pa,
+        sigma_tail_pa);
+    if (!ok) return (size_t)-1;
+    if (read_idx[r] < 0) {  // padding row: nothing exported
+      counts[r] = 0;
+      continue;
     }
-    counts[r] = n_keep;
+    const float* g = gauss ? gauss + r * T : nullptr;
+#ifdef S2S_ULP_SIMD
+    const size_t n =
+        ulp_row_f32_simd(ord_buf, sigma_buf, g, T, noise_mode, static_sigma,
+                         scale_s, dig, rng, offset_mean, flat_out + pos);
+#else
+    const size_t n =
+        ulp_row_f32_scalar(ord_buf, sigma_buf, g, T, noise_mode, static_sigma,
+                           scale_s, dig, rng, offset_mean, flat_out + pos);
+#endif
+    counts[r] = (int32_t)n;
+    pos += n;
   }
   return pos;
 }
@@ -456,14 +576,102 @@ static inline v16f vlog_v16(v16f x) {
 //
 // The counter loop runs in explicit 16-lane vector registers end to end;
 // only w and u spill (for the rare w >= 5 scalar fixup, ~2 draws in 10k).
-void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
-                          const int32_t* read_idx, const int32_t* chunk_off,
-                          size_t B, size_t T, float* out) {
+// One 16-lane block of standard normals for counters [base, base+16) under
+// key (k0, k1) — the vector body shared by threefry_normal_fill and the
+// fused ULP decode (ulp_event_wire_decode_fused). The rare w >= 5 far-tail
+// fixup (|u| > ~0.9998, ~2 draws in 10k) is applied to all 16 lanes.
+static inline v16f threefry_normal16(uint32_t k0, uint32_t k1,
+                                     const uint32_t* ks, uint32_t base) {
   constexpr size_t L = 16;
   static const int R0[4] = {13, 15, 26, 6};
   static const int R1[4] = {17, 29, 16, 24};
   const v16u IOTA = {0, 1, 2,  3,  4,  5,  6,  7,
                      8, 9, 10, 11, 12, 13, 14, 15};
+  v16u v0 = IOTA ^ IOTA;  // zero vector
+  v0 += k0;
+  v16u v1 = IOTA + (base + k1);
+  for (int g = 0; g < 5; ++g) {
+    const int* R = (g % 2 == 0) ? R0 : R1;
+    for (int i = 0; i < 4; ++i) {
+      v0 += v1;
+      v1 = (v1 << R[i]) | (v1 >> (32 - R[i]));
+      v1 ^= v0;
+    }
+    v0 += ks[(g + 1) % 3];
+    v1 += ks[(g + 2) % 3] + (uint32_t)(g + 1);
+  }
+  const v16u bits = ((v0 ^ v1) >> 9) | 0x3F800000u;
+  const float lo = -0.99999994f;  // nextafterf(-1, 0)
+  const v16f f = vbitcast_f(bits) - 1.0f;
+  v16f u = f * (1.0f - lo) + lo;
+  u = (u < lo) ? (f * 0.0f + lo) : u;  // lanewise select
+  const v16f w = -vlog_v16(1.0f - u * u);
+  const v16f wp = w - 2.5f;
+  v16f p = wp * 0.0f + 2.81022636e-08f;
+  p = 3.43273939e-07f + p * wp;
+  p = -3.5233877e-06f + p * wp;
+  p = -4.39150654e-06f + p * wp;
+  p = 0.00021858087f + p * wp;
+  p = -0.00125372503f + p * wp;
+  p = -0.00417768164f + p * wp;
+  p = 0.246640727f + p * wp;
+  p = 1.50140941f + p * wp;
+  v16f res = 1.4142135f * p * u;
+  // Far-tail check: one mask compare on AVX-512, else a compare spill.
+#ifdef S2S_ULP_SIMD
+  __m512 wv;
+  std::memcpy(&wv, &w, sizeof(wv));
+  const bool any =
+      _mm512_cmp_ps_mask(wv, _mm512_set1_ps(5.0f), _CMP_GE_OQ) != 0;
+#else
+  const v16i big = w >= 5.0f;
+  int any_i = 0;
+  for (size_t j = 0; j < L; ++j) any_i |= big[j];
+  const bool any = any_i != 0;
+#endif
+  if (any) {
+    float wt[L], ut[L], rt[L];
+    std::memcpy(wt, &w, sizeof(wt));
+    std::memcpy(ut, &u, sizeof(ut));
+    std::memcpy(rt, &res, sizeof(rt));
+    for (size_t j = 0; j < L; ++j) {
+      if (wt[j] >= 5.0f) {
+        float ws = std::sqrt(wt[j]) - 3.0f;
+        float q = -0.000200214257f;
+        q = 0.000100950558f + q * ws;
+        q = 0.00134934322f + q * ws;
+        q = -0.00367342844f + q * ws;
+        q = 0.00573950773f + q * ws;
+        q = -0.0076224613f + q * ws;
+        q = 0.00943887047f + q * ws;
+        q = 1.00167406f + q * ws;
+        q = 2.83297682f + q * ws;
+        rt[j] = 1.4142135f * q * ut[j];
+      }
+    }
+    std::memcpy(&res, rt, sizeof(rt));
+  }
+  return res;
+}
+
+// Per-row fill: T draws under one folded key (threefry_normal16 blocks;
+// surplus tail-lane draws are not stored).
+static inline void threefry_row_fill(uint32_t k0, uint32_t k1,
+                                     const uint32_t* ks, size_t T,
+                                     float* o) {
+  constexpr size_t L = 16;
+  for (size_t base = 0; base < T; base += L) {
+    const size_t n = (T - base < L) ? (T - base) : L;
+    const v16f res = threefry_normal16(k0, k1, ks, (uint32_t)base);
+    float rt[L];
+    std::memcpy(rt, &res, sizeof(rt));
+    for (size_t j = 0; j < n; ++j) o[base + j] = rt[j];
+  }
+}
+
+void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
+                          const int32_t* read_idx, const int32_t* chunk_off,
+                          size_t B, size_t T, float* out) {
   for (size_t r = 0; r < B; ++r) {
     uint32_t k0, k1;
     fold_in(base_k0, base_k1, (uint32_t)read_idx[r], k0, k1);
@@ -471,70 +679,130 @@ void threefry_normal_fill(uint32_t base_k0, uint32_t base_k1,
     fold_in(k0, k1, 2u, k0, k1);
     const uint32_t k2 = k0 ^ k1 ^ 0x1BD11BDAu;
     const uint32_t ks[3] = {k0, k1, k2};
-    float* o = out + r * T;
-    for (size_t base = 0; base < T; base += L) {
-      const size_t n = (T - base < L) ? (T - base) : L;
-      // All lanes always compute; surplus tail-lane draws are not stored.
-      v16u v0 = IOTA ^ IOTA;  // zero vector
-      v0 += k0;
-      v16u v1 = IOTA + ((uint32_t)base + k1);
-      for (int g = 0; g < 5; ++g) {
-        const int* R = (g % 2 == 0) ? R0 : R1;
-        for (int i = 0; i < 4; ++i) {
-          v0 += v1;
-          v1 = (v1 << R[i]) | (v1 >> (32 - R[i]));
-          v1 ^= v0;
-        }
-        v0 += ks[(g + 1) % 3];
-        v1 += ks[(g + 2) % 3] + (uint32_t)(g + 1);
-      }
-      const v16u bits = ((v0 ^ v1) >> 9) | 0x3F800000u;
-      const float lo = -0.99999994f;  // nextafterf(-1, 0)
-      const v16f f = vbitcast_f(bits) - 1.0f;
-      v16f u = f * (1.0f - lo) + lo;
-      u = (u < lo) ? (f * 0.0f + lo) : u;  // lanewise select
-      const v16f w = -vlog_v16(1.0f - u * u);
-      const v16f wp = w - 2.5f;
-      v16f p = wp * 0.0f + 2.81022636e-08f;
-      p = 3.43273939e-07f + p * wp;
-      p = -3.5233877e-06f + p * wp;
-      p = -4.39150654e-06f + p * wp;
-      p = 0.00021858087f + p * wp;
-      p = -0.00125372503f + p * wp;
-      p = -0.00417768164f + p * wp;
-      p = 0.246640727f + p * wp;
-      p = 1.50140941f + p * wp;
-      const v16f res = 1.4142135f * p * u;
-      float rt[L];
-      std::memcpy(rt, &res, sizeof(rt));
-      for (size_t j = 0; j < n; ++j) o[base + j] = rt[j];
-      // Rare w >= 5 tail (|u| > ~0.9998): scalar fixup with the far-tail
-      // polynomial. Horizontal check via one compare spill.
-      const v16i big = w >= 5.0f;
-      int any = 0;
-      for (size_t j = 0; j < L; ++j) any |= big[j];
-      if (any) {
-        float wt[L], ut[L];
-        std::memcpy(wt, &w, sizeof(wt));
-        std::memcpy(ut, &u, sizeof(ut));
-        for (size_t j = 0; j < n; ++j) {
-          if (wt[j] >= 5.0f) {
-            float ws = std::sqrt(wt[j]) - 3.0f;
-            float q = -0.000200214257f;
-            q = 0.000100950558f + q * ws;
-            q = 0.00134934322f + q * ws;
-            q = -0.00367342844f + q * ws;
-            q = 0.00573950773f + q * ws;
-            q = -0.0076224613f + q * ws;
-            q = 0.00943887047f + q * ws;
-            q = 1.00167406f + q * ws;
-            q = 2.83297682f + q * ws;
-            o[base + j] = 1.4142135f * q * ut[j];
-          }
-        }
-      }
-    }
+    threefry_row_fill(k0, k1, ks, T, out + r * T);
   }
+}
+
+#ifdef S2S_ULP_SIMD
+// Fused ULP pass 2: identical float chain to ulp_row_f32_simd, but the
+// threefry normals are generated in registers per 16-lane block instead of
+// read from a precomputed (B, T) buffer — the buffer's write+read memory
+// traffic and the separate fill pass disappear. Noise values are IDENTICAL
+// to threefry_normal_fill's (same threefry_normal16 blocks).
+static size_t ulp_row_f32_simd_keyed(const uint16_t* ord,
+                                     const float* sigma_f, uint32_t k0,
+                                     uint32_t k1, const uint32_t* ks,
+                                     size_t T, int noise_mode,
+                                     float static_sigma, float scale_s,
+                                     float dig, float rng, float offset_mean,
+                                     int16_t* out) {
+  const __m512 vzero = _mm512_setzero_ps();
+  const __m512 vscale = _mm512_set1_ps(scale_s);
+  const __m512 vdig = _mm512_set1_ps(dig);
+  const __m512 vrng = _mm512_set1_ps(rng);
+  const __m512 voff = _mm512_set1_ps(offset_mean);
+  const __m512 vlo = _mm512_set1_ps(-32768.0f);
+  const __m512 vhi = _mm512_set1_ps(32767.0f);
+  const __m512 vsig = _mm512_set1_ps(static_sigma);
+  size_t pos = 0;
+  for (size_t t = 0; t < T; t += 16) {
+    const __mmask16 lanes = (T - t >= 16)
+                                ? (__mmask16)0xFFFF
+                                : (__mmask16)((1u << (T - t)) - 1);
+    const __m256i o16 = _mm256_loadu_si256((const __m256i*)(ord + t));
+    const __m512i o32 = _mm512_cvtepu16_epi32(o16);
+    const __m512 p = _mm512_mul_ps(
+        _mm512_castsi512_ps(_mm512_slli_epi32(o32, 16)), vscale);
+    __m512 pn;
+    if (noise_mode == 0) {
+      pn = p;
+    } else {
+      const v16f gr = threefry_normal16(k0, k1, ks, (uint32_t)t);
+      __m512 gv;
+      std::memcpy(&gv, &gr, sizeof(gv));
+      const __m512 sv =
+          (noise_mode == 1) ? vsig : _mm512_loadu_ps(sigma_f + t);
+      const __mmask16 nz = _mm512_cmp_ps_mask(p, vzero, _CMP_NEQ_UQ);
+      pn = _mm512_mask_add_ps(p, nz, p, _mm512_mul_ps(gv, sv));
+      pn = _mm512_max_ps(vzero, pn);
+    }
+    const __mmask16 keep =
+        _mm512_mask_cmp_ps_mask(lanes, pn, vzero, _CMP_NEQ_UQ);
+    const __m512 x = _mm512_sub_ps(
+        _mm512_div_ps(_mm512_mul_ps(pn, vdig), vrng), voff);
+    const __mmask16 notnan = _mm512_cmp_ps_mask(x, x, _CMP_ORD_Q);
+    const __m512 xc = _mm512_min_ps(vhi, _mm512_max_ps(vlo, x));
+    const __m512i vi = _mm512_maskz_cvtps_epi32(notnan, xc);
+    const __m256i v16 = _mm512_cvtsepi32_epi16(vi);
+    _mm256_mask_compressstoreu_epi16(out + pos, keep, v16);
+    pos += (size_t)__builtin_popcount((unsigned)keep);
+  }
+  return pos;
+}
+#endif  // S2S_ULP_SIMD
+
+// ULP decode with FUSED noise regeneration: same wire semantics as
+// ulp_event_wire_decode, but instead of a caller-supplied gauss buffer it
+// takes the base threefry key words + per-row chunk offsets and draws each
+// row's normals inside the f32 pass (in registers on AVX-512 hosts, via a
+// stack row buffer otherwise). This is the production path of
+// runtime/wire.EventWireDecoder when the native library is present.
+size_t ulp_event_wire_decode_fused(
+    const uint8_t* stream, const uint16_t* levels, const uint8_t* sigma_q,
+    const uint8_t* ends, const uint8_t* esc, const uint32_t* esc_off,
+    const int32_t* wide, const uint16_t* wide_off, uint32_t base_k0,
+    uint32_t base_k1, const int32_t* chunk_off, const int32_t* read_idx,
+    size_t B, size_t T, size_t K, size_t B_s, size_t cap_esc_s,
+    size_t cap_wide_s, int noise_mode, float sigma_scale_pa,
+    float sigma_tail_pa, float static_sigma, float scale_s, float dig,
+    float rng, float offset_mean, int16_t* flat_out, int32_t* counts) {
+  const size_t W = (T + 3) / 4;
+  if (T > 256) return (size_t)-1;  // caller enforces T <= 255
+  size_t pos = 0;
+  uint16_t ord_buf[256 + 16];
+  float sigma_buf[256 + 16];
+#ifndef S2S_ULP_SIMD
+  float g_buf[256 + 16];
+#endif
+  for (size_t r = 0; r < B; ++r) {
+    const size_t shard = r / B_s;
+    const bool ok = ulp_row_rebuild(
+        stream + r * W, levels + r * (K + 1), ends + r * K, sigma_q + r * K,
+        esc, shard * cap_esc_s + cap_esc_s, wide,
+        shard * cap_wide_s + cap_wide_s, T, K,
+        shard * cap_esc_s + esc_off[r], shard * cap_wide_s + wide_off[r],
+        ord_buf, noise_mode == 2 ? sigma_buf : nullptr, sigma_scale_pa,
+        sigma_tail_pa);
+    if (!ok) return (size_t)-1;
+    if (read_idx[r] < 0) {
+      counts[r] = 0;
+      continue;
+    }
+    uint32_t k0 = 0, k1 = 0;
+    uint32_t ks[3] = {0, 0, 0};
+    if (noise_mode != 0) {
+      fold_in(base_k0, base_k1, (uint32_t)read_idx[r], k0, k1);
+      fold_in(k0, k1, (uint32_t)chunk_off[r], k0, k1);
+      fold_in(k0, k1, 2u, k0, k1);
+      ks[0] = k0;
+      ks[1] = k1;
+      ks[2] = k0 ^ k1 ^ 0x1BD11BDAu;
+    }
+#ifdef S2S_ULP_SIMD
+    const size_t n = ulp_row_f32_simd_keyed(
+        ord_buf, sigma_buf, k0, k1, ks, T, noise_mode, static_sigma, scale_s,
+        dig, rng, offset_mean, flat_out + pos);
+#else
+    if (noise_mode != 0) threefry_row_fill(k0, k1, ks, T, g_buf);
+    const size_t n =
+        ulp_row_f32_scalar(ord_buf, sigma_buf, g_buf, T, noise_mode,
+                           static_sigma, scale_s, dig, rng, offset_mean,
+                           flat_out + pos);
+#endif
+    counts[r] = (int32_t)n;
+    pos += n;
+  }
+  return pos;
 }
 
 // zlib compress (deflate, zlib wrapper). Returns compressed size or 0.

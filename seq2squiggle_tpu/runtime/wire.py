@@ -428,26 +428,11 @@ class EventWireDecoder:
             i16p = ctypes.POINTER(ctypes.c_int16)
             i32p = ctypes.POINTER(ctypes.c_int32)
             f32p = ctypes.POINTER(ctypes.c_float)
+            u32p = ctypes.POINTER(ctypes.c_uint32)
             ridx = np.ascontiguousarray(read_idx, np.int32)
-            _t = _time.perf_counter()
-            if not noise_mode:
-                gauss = None
-            elif self._native_noise:
-                coff = np.ascontiguousarray(chunk_off, np.int32)
-                gauss = np.empty((B, T), np.float32)
-                lib.threefry_normal_fill(
-                    self._key_words[0], self._key_words[1],
-                    ridx.ctypes.data_as(i32p), coff.ctypes.data_as(i32p),
-                    B, T, gauss.ctypes.data_as(f32p),
-                )
-            else:
-                gauss = np.ascontiguousarray(np.asarray(gauss_fut))
-            self.timers["noise_wait"] += _time.perf_counter() - _t
-            _t = _time.perf_counter()
             flat = np.empty(B * T, np.int16)
             counts = np.empty(B, np.int32)
-            u32p = ctypes.POINTER(ctypes.c_uint32)
-            total = lib.ulp_event_wire_decode(
+            common = (
                 np.ascontiguousarray(stream).ctypes.data_as(u8p),
                 np.ascontiguousarray(levels).ctypes.data_as(u16p),
                 np.ascontiguousarray(sigma_q).ctypes.data_as(u8p),
@@ -456,15 +441,40 @@ class EventWireDecoder:
                 np.ascontiguousarray(esc_off).ctypes.data_as(u32p),
                 np.ascontiguousarray(wide).ctypes.data_as(i32p),
                 np.ascontiguousarray(wide_off).ctypes.data_as(u16p),
-                gauss.ctypes.data_as(f32p) if gauss is not None else None,
-                ridx.ctypes.data_as(i32p),
+            )
+            tail = (
                 B, T, K, B_s, cap_esc_s, cap_wide_s,
                 noise_mode, sigma_scale_pa, sigma_tail_pa,
                 np.float32(knobs.noise_std), scale_s, dig, rng_f, offset,
                 flat.ctypes.data_as(i16p),
                 counts.ctypes.data_as(i32p),
             )
-            self.timers["rebuild"] += _time.perf_counter() - _t
+            if self._native_noise:
+                # Fused path: the C++ decoder regenerates each row's
+                # threefry normals inside its vector pass — no (B, T)
+                # gauss buffer exists at all.
+                coff = np.ascontiguousarray(chunk_off, np.int32)
+                _t = _time.perf_counter()
+                total = lib.ulp_event_wire_decode_fused(
+                    *common,
+                    self._key_words[0], self._key_words[1],
+                    coff.ctypes.data_as(i32p), ridx.ctypes.data_as(i32p),
+                    *tail,
+                )
+                self.timers["rebuild"] += _time.perf_counter() - _t
+            else:
+                _t = _time.perf_counter()
+                gauss = (np.ascontiguousarray(np.asarray(gauss_fut))
+                         if noise_mode else None)
+                self.timers["noise_wait"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
+                total = lib.ulp_event_wire_decode(
+                    *common,
+                    gauss.ctypes.data_as(f32p) if gauss is not None else None,
+                    ridx.ctypes.data_as(i32p),
+                    *tail,
+                )
+                self.timers["rebuild"] += _time.perf_counter() - _t
             if total == ctypes.c_size_t(-1).value:
                 raise RuntimeError(
                     "wire-format exception overflow: escape buffer bounds "
