@@ -29,22 +29,22 @@ def make_ulp_batch(B=2048, T=250, K=16, esc_per_row=10.0, seed=0):
         sym[:, 0::4] | (sym[:, 1::4] << 2) | (sym[:, 2::4] << 4)
         | (sym[:, 3::4] << 6)
     ).astype(np.uint8)
-    levels = rng.integers(0x3E00, 0x3FA0, (B, K + 1)).astype(np.uint16)
+    lvl0 = rng.integers(0x3E00, 0x3FA0, B).astype(np.uint16)
+    lvl_d = rng.integers(-60, 61, (B, K)).astype(np.int8)
+    lvl_esc = np.zeros(B, np.uint16)
     sigma_q = rng.integers(1, 60, (B, K)).astype(np.uint8)
     ends = np.cumsum(rng.integers(8, 24, (B, K)), axis=1)
     ends = np.minimum(ends, T).astype(np.uint8)
     n_esc = (sym[:, :T] == 3).sum(1)
-    esc_off = (np.cumsum(n_esc) - n_esc).astype(np.uint32)
     total = int(n_esc.sum())
     nibs = rng.integers(0, 16, total).astype(np.uint8)
     nibs[nibs == 8] = 9  # keep wides out of the common path
     nf = np.concatenate([nibs, np.zeros(total % 2, np.uint8)])
     esc = (nf[0::2] | (nf[1::2] << 4)).astype(np.uint8)
-    wide = np.zeros(B, np.int32)
-    wide_off = np.zeros(B, np.uint16)
+    wide_b = np.zeros(B, np.uint8)
     ridx = np.arange(B, dtype=np.int32)
     coff = np.zeros(B, np.int32)
-    return (stream, levels, sigma_q, ends, esc, esc_off, wide, wide_off,
+    return (stream, lvl0, lvl_d, sigma_q, ends, esc, lvl_esc, wide_b,
             np.zeros(B, np.uint8)), ridx, coff
 
 
@@ -57,10 +57,10 @@ def main():
 
     B, T, K = 2048, 250, 16
     outs, ridx, coff = make_ulp_batch(B, T, K)
-    stream, levels, sigma_q, ends, esc, esc_off, wide, wide_off, _ = outs
+    stream, lvl0, lvl_d, sigma_q, ends, esc, lvl_esc, wide_b, _ = outs
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i8p = ctypes.POINTER(ctypes.c_int8)
     i16p = ctypes.POINTER(ctypes.c_int16)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -78,12 +78,13 @@ def main():
 
     def run():
         return lib.ulp_event_wire_decode(
-            stream.ctypes.data_as(u8p), levels.ctypes.data_as(u16p),
+            stream.ctypes.data_as(u8p), lvl0.ctypes.data_as(u16p),
+            lvl_d.ctypes.data_as(i8p),
             sigma_q.ctypes.data_as(u8p), ends.ctypes.data_as(u8p),
-            esc.ctypes.data_as(u8p), esc_off.ctypes.data_as(u32p),
-            wide.ctypes.data_as(i32p), wide_off.ctypes.data_as(u16p),
+            esc.ctypes.data_as(u8p), lvl_esc.ctypes.data_as(u16p),
+            wide_b.ctypes.data_as(u8p),
             gauss.ctypes.data_as(f32p), ridx.ctypes.data_as(i32p),
-            B, T, K, B, esc.size * 2, B,
+            B, T, K, B, esc.size * 2, B // 4, B,
             2, ctypes.c_float(0.25 * 281.3 / 2048), ctypes.c_float(0.0),
             ctypes.c_float(1.0), ctypes.c_float(165.0),
             ctypes.c_float(2048.0), ctypes.c_float(281.345551),
@@ -98,12 +99,13 @@ def main():
 
     def run_fused():
         return lib.ulp_event_wire_decode_fused(
-            stream.ctypes.data_as(u8p), levels.ctypes.data_as(u16p),
+            stream.ctypes.data_as(u8p), lvl0.ctypes.data_as(u16p),
+            lvl_d.ctypes.data_as(i8p),
             sigma_q.ctypes.data_as(u8p), ends.ctypes.data_as(u8p),
-            esc.ctypes.data_as(u8p), esc_off.ctypes.data_as(u32p),
-            wide.ctypes.data_as(i32p), wide_off.ctypes.data_as(u16p),
+            esc.ctypes.data_as(u8p), lvl_esc.ctypes.data_as(u16p),
+            wide_b.ctypes.data_as(u8p),
             1, 2, coff.ctypes.data_as(i32p), ridx.ctypes.data_as(i32p),
-            B, T, K, B, esc.size * 2, B,
+            B, T, K, B, esc.size * 2, B // 4, B,
             2, ctypes.c_float(0.25 * 281.3 / 2048), ctypes.c_float(0.0),
             ctypes.c_float(1.0), ctypes.c_float(165.0),
             ctypes.c_float(2048.0), ctypes.c_float(281.345551),

@@ -122,11 +122,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             c_int, c_float, c_float, c_float, c_float, i16p, i32p,
         ]
         u16p = ctypes.POINTER(ctypes.c_uint16)
-        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
         lib.ulp_event_wire_decode.restype = size_t
         lib.ulp_event_wire_decode.argtypes = [
-            u8p, u16p, u8p, u8p, u8p, u32p, i32p, u16p, f32p, i32p,
-            size_t, size_t, size_t, size_t, size_t, size_t,
+            u8p, u16p, i8p, u8p, u8p, u8p, u16p, u8p, f32p, i32p,
+            size_t, size_t, size_t, size_t, size_t, size_t, size_t,
             c_int, c_float, c_float, c_float, c_float, c_float, c_float,
             c_float, i16p, i32p,
         ]
@@ -137,9 +137,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         ]
         lib.ulp_event_wire_decode_fused.restype = size_t
         lib.ulp_event_wire_decode_fused.argtypes = [
-            u8p, u16p, u8p, u8p, u8p, u32p, i32p, u16p,
+            u8p, u16p, i8p, u8p, u8p, u8p, u16p, u8p,
             ctypes.c_uint32, ctypes.c_uint32, i32p, i32p,
-            size_t, size_t, size_t, size_t, size_t, size_t,
+            size_t, size_t, size_t, size_t, size_t, size_t, size_t,
             c_int, c_float, c_float, c_float, c_float, c_float, c_float,
             c_float, i16p, i32p,
         ]

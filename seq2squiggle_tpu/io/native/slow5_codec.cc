@@ -215,20 +215,50 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
 
 // ---- split ULP decode, pass 1: serial integer symbol walk ------------
 // Rebuilds one row's bf16 bit ordinals (and, for sampled noise, the
-// per-frame sigma fill) from the 2-bit symbol stream. Iterates SEGMENTS
-// instead of re-deriving the segment id per frame: segment k spans
-// [en[k-1], en[k]) (0 / T at the edges), its start frame takes lv[k]
-// verbatim (consuming a possible escape, as the packer's stream order
-// demands), and in-segment frames accumulate deltas. Identical wrap-on-
-// store semantics to the monolithic loop. Returns false on escape/wide
-// buffer bounds violation (device overflow -> caller recomputes raw).
-static bool ulp_row_rebuild(const uint8_t* s, const uint16_t* lv,
-                            const uint8_t* en, const uint8_t* sq,
-                            const uint8_t* esc, size_t esc_end,
-                            const int32_t* wide, size_t wide_end, size_t T,
-                            size_t K, size_t ei, size_t wi, uint16_t* ord,
+// per-frame sigma fill) from the 2-bit symbol stream. First decodes the
+// row's event levels from the anchor + i8 deltas (-128 = zero level,
+// -127 = escape: exact u16 from the batch-flat lvl_esc buffer), then
+// iterates SEGMENTS instead of re-deriving the segment id per frame:
+// segment k spans [en[k-1], en[k]) (0 / T at the edges), its start frame
+// takes lv[k] verbatim (consuming a possible escape, as the packer's
+// stream order demands), and in-segment frames accumulate deltas. The
+// flat-buffer cursors (ei nibbles, wi wide slots, li level escapes)
+// persist ACROSS rows — rows consume the buffers strictly in row-major
+// order, which is how the per-row offsets dropped off the wire. Returns
+// false on a buffer bounds violation (device overflow -> caller
+// recomputes the batch raw).
+static bool ulp_row_rebuild(const uint8_t* s, uint16_t lvl0,
+                            const int8_t* lvl_d, const uint8_t* en,
+                            const uint8_t* sq, const uint8_t* esc,
+                            size_t esc_end, const uint8_t* wide_bytes,
+                            size_t wide_end, const uint16_t* lvl_esc,
+                            size_t lvl_end, size_t T, size_t K, size_t* ei_io,
+                            size_t* wi_io, size_t* li_io, uint16_t* ord,
                             float* sigma_f, float sigma_scale_pa,
                             float sigma_tail_pa) {
+  if (K > 256) return false;
+  uint16_t lv[257];
+  {
+    size_t li = *li_io;
+    lv[0] = lvl0;
+    int32_t prev = (lvl0 != 0) ? (int32_t)lvl0 : 0;
+    for (size_t e = 1; e <= K; ++e) {
+      const int32_t d8 = (int32_t)lvl_d[e - 1];
+      int32_t v;
+      if (d8 == -128) {
+        v = 0;
+      } else if (d8 == -127) {
+        if (li >= lvl_end) return false;
+        v = (int32_t)lvl_esc[li++];
+      } else {
+        v = prev + d8;
+      }
+      lv[e] = (uint16_t)v;
+      if (v != 0) prev = v;
+    }
+    *li_io = li;
+  }
+  size_t ei = *ei_io, wi = *wi_io;
   size_t start = 0;
   for (size_t seg = 0; seg <= K; ++seg) {
     size_t end = (seg < K) ? (size_t)en[seg] : T;
@@ -249,8 +279,11 @@ static bool ulp_row_rebuild(const uint8_t* s, const uint16_t* lv,
             (ei & 1) ? (esc[ei >> 1] >> 4) : (esc[ei >> 1] & 0xF);
         ++ei;
         if (nb == 8) {  // wide-jump marker
+          // wi is a BYTE offset into the global buffer (a shard's slot
+          // span starts at shard*B_s bytes, not 4-byte aligned there).
           if (wi >= wide_end) return false;
-          d = wide[wi++];
+          std::memcpy(&d, wide_bytes + wi, 4);
+          wi += 4;
         } else {
           d = (int32_t)nb - 8;
         }
@@ -262,6 +295,8 @@ static bool ulp_row_rebuild(const uint8_t* s, const uint16_t* lv,
     }
     start = end;
   }
+  *ei_io = ei;
+  *wi_io = wi;
   return true;
 }
 
@@ -360,47 +395,57 @@ static size_t ulp_row_f32_scalar(const uint16_t* ord, const float* sigma_f,
 // digitised int16 samples, front-compacted with per-row counts. The stream
 // carries four 2-bit symbols per byte (0=+0, 1=+1 ULP, 2=-1 ULP,
 // 3=escape); escapes consume 4-bit nibbles from the BATCH-FLAT `esc`
-// buffer starting at the row's esc_off (nibble value 8 marks a wide jump
-// whose exact i32 value sits in the batch-flat `wide` buffer at the
-// row's wide_off). Under device data-parallelism the flat buffers are
-// per-shard (B_s rows each, cap_esc_s nibbles / cap_wide_s slots), so
-// indices rebase by the row's shard. The rebuilt ordinal IS the bf16 bit
-// pattern of the decoder output, so this replays the device's
-// digitisation chain on exact values (see
-// runtime/predict._pack_event_wire_ulp). fp-contract is pinned off so
-// float rounding matches the numpy oracle bit-for-bit (an FMA in
-// p + g*sigma would round differently). Returns total samples written,
-// or SIZE_MAX if an escape/wide index leaves its shard's buffer (device
-// overflow -> caller recomputes the batch raw).
-__attribute__((optimize("-ffp-contract=off")))
+// buffer (nibble value 8 marks a wide jump whose exact i32 value sits in
+// the batch-flat `wide` byte buffer); event levels decode from a u16
+// anchor + i8 deltas with escapes in the batch-flat `lvl_esc` buffer.
+// No per-row offsets exist on the wire: rows consume each flat buffer
+// strictly in row-major order, so the decoder's running cursors ARE the
+// offsets, resetting at shard boundaries (under device data-parallelism
+// the flat buffers are per-shard: B_s rows, cap_esc_s nibbles /
+// cap_wide_s i32 slots / cap_lvl_s u16 slots each). The rebuilt ordinal
+// IS the bf16 bit pattern of the decoder output, so this replays the
+// device's digitisation chain on exact values (see
+// runtime/predict._pack_event_wire_ulp). Returns total samples written,
+// or SIZE_MAX if a cursor leaves its shard's buffer (device overflow ->
+// caller recomputes the batch raw).
 size_t ulp_event_wire_decode(
     const uint8_t* stream,    // (B, ceil(T/4)) packed 2-bit symbols
-    const uint16_t* levels,   // (B, K+1) raw bf16 bits at event starts
+    const uint16_t* lvl0,     // (B,) raw bf16 bits of event 0
+    const int8_t* lvl_d,      // (B, K) level deltas / markers
     const uint8_t* sigma_q,   // (B, K) quarter-ADC-count stdevs
     const uint8_t* ends,      // (B, K) non-decreasing boundaries
     const uint8_t* esc,       // batch-flat packed 4-bit escape deltas
-    const uint32_t* esc_off,  // (B,) first nibble index (shard-local)
-    const int32_t* wide,      // batch-flat wide-jump ordinal deltas
-    const uint16_t* wide_off, // (B,) first wide slot (shard-local)
+    const uint16_t* lvl_esc,  // batch-flat escaped levels (u16)
+    const uint8_t* wide,      // batch-flat wide-jump i32 slots (bytes)
     const float* gauss,       // (B, T) or NULL
     const int32_t* read_idx,  // (B,)
     size_t B, size_t T, size_t K, size_t B_s, size_t cap_esc_s,
-    size_t cap_wide_s, int noise_mode, float sigma_scale_pa,
-    float sigma_tail_pa, float static_sigma, float scale_s, float dig,
-    float rng, float offset_mean, int16_t* flat_out, int32_t* counts) {
+    size_t cap_wide_s, size_t cap_lvl_s, int noise_mode,
+    float sigma_scale_pa, float sigma_tail_pa, float static_sigma,
+    float scale_s, float dig, float rng, float offset_mean,
+    int16_t* flat_out, int32_t* counts) {
   const size_t W = (T + 3) / 4;
   if (T > 256) return (size_t)-1;  // caller enforces T <= 255
   size_t pos = 0;
   uint16_t ord_buf[256 + 16];  // 16-lane over-read padding
   float sigma_buf[256 + 16];
+  size_t ei = 0, wi = 0, li = 0;  // running flat-buffer cursors
+  size_t esc_end = 0, wide_end = 0, lvl_end = 0;
   for (size_t r = 0; r < B; ++r) {
-    const size_t shard = r / B_s;
+    if (r % B_s == 0) {  // shard boundary: rebase the cursors
+      const size_t shard = r / B_s;
+      ei = shard * cap_esc_s;
+      esc_end = ei + cap_esc_s;
+      wi = shard * B_s;  // byte offset of the shard's wide slots
+      wide_end = wi + cap_wide_s * 4;
+      li = shard * cap_lvl_s;
+      lvl_end = li + cap_lvl_s;
+    }
     const bool ok = ulp_row_rebuild(
-        stream + r * W, levels + r * (K + 1), ends + r * K, sigma_q + r * K,
-        esc, shard * cap_esc_s + cap_esc_s, wide,
-        shard * cap_wide_s + cap_wide_s, T, K,
-        shard * cap_esc_s + esc_off[r], shard * cap_wide_s + wide_off[r],
-        ord_buf, noise_mode == 2 ? sigma_buf : nullptr, sigma_scale_pa,
+        stream + r * W, lvl0[r], lvl_d + r * K, ends + r * K,
+        sigma_q + r * K, esc, esc_end, wide, wide_end, lvl_esc, lvl_end, T,
+        K, &ei, &wi, &li, ord_buf,
+        noise_mode == 2 ? sigma_buf : nullptr, sigma_scale_pa,
         sigma_tail_pa);
     if (!ok) return (size_t)-1;
     if (read_idx[r] < 0) {  // padding row: nothing exported
@@ -748,14 +793,15 @@ static size_t ulp_row_f32_simd_keyed(const uint16_t* ord,
 // stack row buffer otherwise). This is the production path of
 // runtime/wire.EventWireDecoder when the native library is present.
 size_t ulp_event_wire_decode_fused(
-    const uint8_t* stream, const uint16_t* levels, const uint8_t* sigma_q,
-    const uint8_t* ends, const uint8_t* esc, const uint32_t* esc_off,
-    const int32_t* wide, const uint16_t* wide_off, uint32_t base_k0,
+    const uint8_t* stream, const uint16_t* lvl0, const int8_t* lvl_d,
+    const uint8_t* sigma_q, const uint8_t* ends, const uint8_t* esc,
+    const uint16_t* lvl_esc, const uint8_t* wide, uint32_t base_k0,
     uint32_t base_k1, const int32_t* chunk_off, const int32_t* read_idx,
     size_t B, size_t T, size_t K, size_t B_s, size_t cap_esc_s,
-    size_t cap_wide_s, int noise_mode, float sigma_scale_pa,
-    float sigma_tail_pa, float static_sigma, float scale_s, float dig,
-    float rng, float offset_mean, int16_t* flat_out, int32_t* counts) {
+    size_t cap_wide_s, size_t cap_lvl_s, int noise_mode,
+    float sigma_scale_pa, float sigma_tail_pa, float static_sigma,
+    float scale_s, float dig, float rng, float offset_mean,
+    int16_t* flat_out, int32_t* counts) {
   const size_t W = (T + 3) / 4;
   if (T > 256) return (size_t)-1;  // caller enforces T <= 255
   size_t pos = 0;
@@ -764,14 +810,23 @@ size_t ulp_event_wire_decode_fused(
 #ifndef S2S_ULP_SIMD
   float g_buf[256 + 16];
 #endif
+  size_t ei = 0, wi = 0, li = 0;  // running flat-buffer cursors
+  size_t esc_end = 0, wide_end = 0, lvl_end = 0;
   for (size_t r = 0; r < B; ++r) {
-    const size_t shard = r / B_s;
+    if (r % B_s == 0) {  // shard boundary: rebase the cursors
+      const size_t shard = r / B_s;
+      ei = shard * cap_esc_s;
+      esc_end = ei + cap_esc_s;
+      wi = shard * B_s;  // byte offset of the shard's wide slots
+      wide_end = wi + cap_wide_s * 4;
+      li = shard * cap_lvl_s;
+      lvl_end = li + cap_lvl_s;
+    }
     const bool ok = ulp_row_rebuild(
-        stream + r * W, levels + r * (K + 1), ends + r * K, sigma_q + r * K,
-        esc, shard * cap_esc_s + cap_esc_s, wide,
-        shard * cap_wide_s + cap_wide_s, T, K,
-        shard * cap_esc_s + esc_off[r], shard * cap_wide_s + wide_off[r],
-        ord_buf, noise_mode == 2 ? sigma_buf : nullptr, sigma_scale_pa,
+        stream + r * W, lvl0[r], lvl_d + r * K, ends + r * K,
+        sigma_q + r * K, esc, esc_end, wide, wide_end, lvl_esc, lvl_end, T,
+        K, &ei, &wi, &li, ord_buf,
+        noise_mode == 2 ? sigma_buf : nullptr, sigma_scale_pa,
         sigma_tail_pa);
     if (!ok) return (size_t)-1;
     if (read_idx[r] < 0) {

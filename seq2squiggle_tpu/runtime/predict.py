@@ -370,12 +370,18 @@ def _pack_event_wire_ulp(
     (~3%/sample, ESC symbol marks them in order), and full (pos, val)
     exception slots catch the ~2e-6/sample remainder.
 
-    Wire contents per row (T=250, K=16: 147 B vs 229 at the 4-bit event
+    Wire contents per row (T=250, K=16: 127 B vs 229 at the 4-bit event
     tier and 504 raw):
       stream   (ceil(T/4),) u8   four 2-bit symbols per byte (0 = +0,
                                  1 = +1 ULP, 2 = -1 ULP, 3 = escape)
-      levels   (K+1,)       u16  raw bf16 bits at each event's first
-                                 frame (+1 tail segment)
+      lvl0     ()           u16  raw bf16 bits of event 0's first frame
+      lvl_d    (K,)         i8   event-level deltas in bf16-ordinal
+                                 space vs the PREVIOUS NON-ZERO level
+                                 (adjacent k-mer currents sit within
+                                 ~half an octave, so they fit i8);
+                                 -128 = this level is exactly 0,
+                                 -127 = escape: the exact u16 sits in
+                                 the batch-flat `lvl_esc` buffer
       sigma_q  (K,)         u8   per-event noise stdev, ADC counts in
                                  1/4 units (as the 4-bit tier)
       ends     (K,)         u8   capped cumulative event boundaries
@@ -384,17 +390,23 @@ def _pack_event_wire_ulp(
                                  order; nibble value 8 (an impossible
                                  d=0 escape) marks a WIDE jump whose
                                  exact value sits in `wide`
-      esc_off  ()           u32  this row's first nibble index
-      wide     ()           i32  slice of the batch-flat wide-jump buffer
-                                 (one i32 slot per row of capacity)
-      wide_off ()           u16  this row's first wide-slot index
-      flags    ()           u8   bit 0: sigma field overflow
+      lvl_esc  ()           u16  slice of the batch-flat escaped-level
+                                 buffer (one u16 slot per row)
+      wide     ()           u8   slice of the batch-flat wide-jump i32
+                                 buffer (B//4 slots = 1 byte per row,
+                                 zero-padded to B bytes)
+      flags    ()           u8   bit 0: sigma field / flat-buffer
+                                 overflow (batch recomputes raw)
 
-    The escape/wide buffers are shared across the whole batch (rows
-    consume them at their offsets), so no PER-ROW budget exists at all —
-    only the batch totals are capped, with >40-sigma headroom at
-    production batch sizes. The host verifies the totals exactly and
-    recomputes the batch raw on the (astronomically rare) overflow.
+    The escape/wide/level-escape buffers are shared across the whole
+    batch, so no PER-ROW budget exists at all — only batch totals are
+    capped, with >40-sigma headroom at production batch sizes. Rows
+    consume the flat buffers strictly in row-major stream order, so the
+    per-row start offsets are DERIVED by the decoder (a serial walk
+    anyway) instead of shipped; under device data-parallelism each
+    shard's buffers restart at its first row. The host verifies the
+    totals exactly and recomputes the batch raw on the (astronomically
+    rare) overflow.
 
     Because the host (runtime/wire.EventWireDecoder) rebuilds the exact
     bf16 prediction, it replays the device's own digitisation chain
@@ -409,9 +421,13 @@ def _pack_event_wire_ulp(
     B, T = dec.shape
     K = durations.shape[1]
     assert T <= 255, "ULP event tier needs ends to fit uint8 (T < 256)"
+    assert B >= 4, "ULP event tier needs B >= 4 (one i32 wide slot)"
     assert dec.dtype == jnp.bfloat16, "ULP event tier needs bfloat16 compute"
     CAP_ESC = B * WIRE_ESC_NIB_PER_ROW  # batch-flat nibble capacity
-    CAP_WIDE = B  # batch-flat wide-jump capacity (one i32 slot per row)
+    # Wide jumps hit ~1.8e-4 of ROWS (measured over 3.1M rows), so B//4
+    # i32 slots per batch is still >50-sigma headroom at B=2048.
+    CAP_WIDE = max(B // 4, 1)
+    CAP_LVL = B  # escaped levels: ~0.1/row measured on the R9 demo
 
     # Monotonic ordinal: the decoder output is post-ReLU (>= +0.0), so the
     # raw bf16 bit pattern itself orders values; 1 ULP = 1 ordinal step.
@@ -427,9 +443,45 @@ def _pack_event_wire_ulp(
     start_frame = jnp.take_along_axis(starts_ext, seg, axis=1)  # (B, T)
     is_start = t == start_frame
 
-    levels = jnp.take_along_axis(
+    levels32 = jnp.take_along_axis(
         ord_, jnp.minimum(starts_ext, T - 1), axis=1
-    ).astype(jnp.uint16)  # (B, K+1) raw bf16 bits
+    )  # (B, K+1) raw bf16 bit ordinals, int32
+
+    # Level wire: one u16 anchor + K i8 deltas vs the previous NON-ZERO
+    # level (zeros are structural — empty/tail segments — and get their
+    # own marker so the 0 <-> ~0x3F00 transitions never consume escapes).
+    lvl_nz = levels32 != 0
+    lvl_idx = jnp.where(
+        lvl_nz, jnp.arange(K + 1, dtype=jnp.int32)[None, :], -1
+    )
+    last_nz = jax.lax.cummax(lvl_idx, axis=1)  # last nonzero index <= e
+    prev_idx = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), last_nz[:, :-1]], axis=1
+    )
+    prev_nz = jnp.where(
+        prev_idx >= 0,
+        jnp.take_along_axis(levels32, jnp.maximum(prev_idx, 0), axis=1),
+        0,
+    )  # (B, K+1)
+    lvl_delta = levels32 - prev_nz
+    lvl_fits = (lvl_delta >= -126) & (lvl_delta <= 126)
+    lvl_is_esc = lvl_nz & ~lvl_fits  # nonzero level, delta out of i8 range
+    lvl_d = jnp.where(
+        ~lvl_nz, -128, jnp.where(lvl_is_esc, -127, lvl_delta)
+    )[:, 1:].astype(jnp.int8)  # (B, K); event 0 ships as the u16 anchor
+    lvl0 = levels32[:, 0].astype(jnp.uint16)
+
+    # Batch-flat escaped-level buffer, row-major rank order (decoder
+    # derives per-row offsets by walking rows in order).
+    lvl_esc_flags = lvl_is_esc[:, 1:].reshape(-1)
+    lvl_esc_i = lvl_esc_flags.astype(jnp.int32)
+    lvl_rank = jnp.cumsum(lvl_esc_i) - lvl_esc_i
+    lvl_esc = jnp.zeros(CAP_LVL, jnp.int32).at[
+        jnp.where(lvl_esc_flags, lvl_rank, CAP_LVL)
+    ].set(levels32[:, 1:].reshape(-1), mode="drop").astype(
+        jnp.uint16
+    ).reshape(B)  # one u16 slot per row
+    n_lvl_total = jnp.sum(lvl_esc_i)
 
     cpr = knobs.digitisation / knobs.signal_range
     sigma_counts = (
@@ -455,7 +507,8 @@ def _pack_event_wire_ulp(
 
     # Batch-flat escape buffer: the j-th escape of the BATCH (row-major
     # stream order) owns nibble j. Global exclusive rank + OOB-dropping
-    # scatter; per-row u32 offsets let rows decode independently.
+    # scatter; the decoder re-derives each row's start by walking rows in
+    # order (no offsets on the wire).
     is_esc = (sym == 3).reshape(-1)  # (B*T,) row-major
     esc_i = is_esc.astype(jnp.int32)
     gidx = jnp.cumsum(esc_i) - esc_i  # exclusive global rank
@@ -467,18 +520,19 @@ def _pack_event_wire_ulp(
     esc = (
         nib_flat[0::2] | (nib_flat[1::2] << 4)
     ).astype(jnp.uint8).reshape(B, -1)  # (B, NIB/2) flat bytes
-    row_esc = esc_i.reshape(B, T).sum(axis=1)
-    esc_off = (jnp.cumsum(row_esc) - row_esc).astype(jnp.uint32)
     n_esc_total = jnp.sum(esc_i)
 
-    # Batch-flat wide-jump values (exact i32 ordinal deltas).
+    # Batch-flat wide-jump values (exact i32 ordinal deltas), shipped as
+    # CAP_WIDE i32 slots bitcast to bytes and zero-padded to one byte/row.
     wide_i = is_wide.astype(jnp.int32).reshape(-1)
     widx = jnp.cumsum(wide_i) - wide_i
     wide = jnp.zeros(CAP_WIDE, jnp.int32).at[
         jnp.where(wide_i == 1, widx, CAP_WIDE)
-    ].set(d.reshape(-1), mode="drop").reshape(B)
-    row_wide = wide_i.reshape(B, T).sum(axis=1)
-    wide_off = (jnp.cumsum(row_wide) - row_wide).astype(jnp.uint16)
+    ].set(d.reshape(-1), mode="drop")
+    wide_b = jax.lax.bitcast_convert_type(wide, jnp.uint8).reshape(-1)
+    wide_b = jnp.concatenate(
+        [wide_b, jnp.zeros(B - wide_b.shape[0], jnp.uint8)]
+    ).reshape(B)
     n_wide_total = jnp.sum(wide_i)
 
     sigma_bad = (
@@ -487,10 +541,13 @@ def _pack_event_wire_ulp(
     )
     # Batch-level overflow is flagged on EVERY row (the whole batch is
     # recomputed raw anyway; per-row attribution is meaningless).
-    batch_bad = (n_esc_total > CAP_ESC) | (n_wide_total > CAP_WIDE)
+    batch_bad = (
+        (n_esc_total > CAP_ESC) | (n_wide_total > CAP_WIDE)
+        | (n_lvl_total > CAP_LVL)
+    )
     flags = (sigma_bad | batch_bad).astype(jnp.uint8)
-    return (stream, levels, sigma_q, ends.astype(jnp.uint8), esc,
-            esc_off, wide, wide_off, flags)
+    return (stream, lvl0, lvl_d, sigma_q, ends.astype(jnp.uint8), esc,
+            lvl_esc, wide_b, flags)
 
 
 def _pack_wire(signal_compact: jnp.ndarray, counts: jnp.ndarray, bits: int):
@@ -561,11 +618,11 @@ def wire_layout(bits: int, T: int, K: int):
 
     if bits == 2:
         return [("stream", np.uint8, (T + 3) // 4),
-                ("levels", np.uint16, K + 1),
+                ("lvl0", np.uint16, 1), ("lvl_d", np.int8, K),
                 ("sigma_q", np.uint8, K), ("ends", np.uint8, K),
                 ("esc", np.uint8, WIRE_ESC_NIB_PER_ROW // 2),
-                ("esc_off", np.uint32, 1), ("wide", np.int32, 1),
-                ("wide_off", np.uint16, 1), ("flags", np.uint8, 1)]
+                ("lvl_esc", np.uint16, 1), ("wide", np.uint8, 1),
+                ("flags", np.uint8, 1)]
     if bits == 4:
         E = WIRE_EXC_SLOTS[4]
         return [("stream", np.uint8, T // 2), ("levels", np.int16, K + 1),

@@ -370,7 +370,7 @@ class EventWireDecoder:
         float-rounding-level noise deviations, still inside 1 count).
         """
         knobs = self._knobs
-        stream, levels, sigma_q, ends, esc, esc_off, wide, wide_off, flags = (
+        stream, lvl0, lvl_d, sigma_q, ends, esc, lvl_esc, wide_b, flags = (
             np.asarray(o) for o in outs
         )
         if flags.any():
@@ -383,12 +383,14 @@ class EventWireDecoder:
         T = self._frames if self._frames is not None else stream.shape[1] * 4
         self._T = T
         rows = np.arange(B, dtype=np.intp)[:, None]
-        # dp-sharded batches concatenate per-shard flat escape/wide buffers;
-        # offsets are shard-local, so rebase by each row's shard.
+        # dp-sharded batches concatenate per-shard flat buffers; no offsets
+        # ship on the wire — rows consume each buffer in row-major order,
+        # so per-row starts derive from shard-local cumulative counts.
         dp = self._dp_shards
         B_s = B // dp
         cap_esc_s = esc.size * 2 // dp  # nibbles per shard
-        cap_wide_s = wide.size // dp
+        cap_wide_s = B_s // 4  # i32 slots per shard (byte-packed)
+        cap_lvl_s = B_s  # u16 escaped-level slots per shard
 
         import time as _time
 
@@ -428,22 +430,22 @@ class EventWireDecoder:
             i16p = ctypes.POINTER(ctypes.c_int16)
             i32p = ctypes.POINTER(ctypes.c_int32)
             f32p = ctypes.POINTER(ctypes.c_float)
-            u32p = ctypes.POINTER(ctypes.c_uint32)
+            i8p = ctypes.POINTER(ctypes.c_int8)
             ridx = np.ascontiguousarray(read_idx, np.int32)
             flat = np.empty(B * T, np.int16)
             counts = np.empty(B, np.int32)
             common = (
                 np.ascontiguousarray(stream).ctypes.data_as(u8p),
-                np.ascontiguousarray(levels).ctypes.data_as(u16p),
+                np.ascontiguousarray(lvl0).ctypes.data_as(u16p),
+                np.ascontiguousarray(lvl_d).ctypes.data_as(i8p),
                 np.ascontiguousarray(sigma_q).ctypes.data_as(u8p),
                 np.ascontiguousarray(ends).ctypes.data_as(u8p),
                 np.ascontiguousarray(esc).ctypes.data_as(u8p),
-                np.ascontiguousarray(esc_off).ctypes.data_as(u32p),
-                np.ascontiguousarray(wide).ctypes.data_as(i32p),
-                np.ascontiguousarray(wide_off).ctypes.data_as(u16p),
+                np.ascontiguousarray(lvl_esc).ctypes.data_as(u16p),
+                np.ascontiguousarray(wide_b).ctypes.data_as(u8p),
             )
             tail = (
-                B, T, K, B_s, cap_esc_s, cap_wide_s,
+                B, T, K, B_s, cap_esc_s, cap_wide_s, cap_lvl_s,
                 noise_mode, sigma_scale_pa, sigma_tail_pa,
                 np.float32(knobs.noise_std), scale_s, dig, rng_f, offset,
                 flat.ctypes.data_as(i16p),
@@ -484,6 +486,51 @@ class EventWireDecoder:
 
         # ---- numpy fallback (parity oracle) ----
         _t = _time.perf_counter()
+
+        def shard_excl_offsets(row_counts):
+            """Per-row exclusive start offsets into a shard-local flat
+            buffer: rows consume the buffer in row-major order, so the
+            offsets are shard-local cumulative counts (what the wire used
+            to ship explicitly)."""
+            cum = np.cumsum(row_counts) - row_counts  # global exclusive
+            base = np.repeat(cum[0::B_s], B_s)[:B]
+            return (cum - base).astype(np.intp)
+
+        shard = rows // B_s  # (B, 1)
+
+        # Event levels: u16 anchor + i8 deltas vs the previous non-zero
+        # level; -128 = zero level, -127 = escape (exact u16 in lvl_esc).
+        lvl_d_i = lvl_d.astype(np.int32)
+        is_zero_l = lvl_d_i == -128
+        is_esc_l = lvl_d_i == -127
+        lrank = np.cumsum(is_esc_l, axis=1) - is_esc_l
+        lvl_off = shard_excl_offsets(is_esc_l.sum(axis=1))
+        glidx = shard * cap_lvl_s + lvl_off[:, None] + lrank
+        if is_esc_l.any():
+            cap_end = (shard + 1) * cap_lvl_s
+            if (glidx[is_esc_l]
+                    >= np.broadcast_to(cap_end, glidx.shape)[is_esc_l]).any():
+                raise RuntimeError(
+                    "wire-format exception overflow: level-escape buffer "
+                    "bounds exceeded at the ULP event tier"
+                )
+        lvl_esc_flat = lvl_esc.reshape(-1)
+        lvl_vals = lvl_esc_flat[
+            np.minimum(glidx, lvl_esc_flat.size - 1)
+        ].astype(np.int32)
+        K = lvl_d.shape[1]
+        levels = np.zeros((B, K + 1), np.int32)
+        levels[:, 0] = lvl0
+        prev = np.where(lvl0 != 0, lvl0, 0).astype(np.int32)
+        for e in range(1, K + 1):
+            col = np.where(
+                is_zero_l[:, e - 1], 0,
+                np.where(is_esc_l[:, e - 1], lvl_vals[:, e - 1],
+                         prev + lvl_d_i[:, e - 1]),
+            )
+            levels[:, e] = col
+            prev = np.where(col != 0, col, prev)
+
         W = stream.shape[1]
         sym = np.empty((B, W * 4), np.uint8)
         for j in range(4):
@@ -492,11 +539,11 @@ class EventWireDecoder:
         d = (sym == 1).astype(np.int32) - (sym == 2).astype(np.int32)
         is_esc = sym == 3
         esc_i = is_esc.astype(np.int32)
-        # Global nibble index per escape: shard base + row offset +
-        # row-local exclusive rank (row-major stream order, as packed).
+        # Global nibble index per escape: shard base + derived row offset
+        # + row-local exclusive rank (row-major stream order, as packed).
         rank = np.cumsum(esc_i, axis=1) - esc_i
-        shard = rows // B_s  # (B, 1)
-        gidx = shard * cap_esc_s + esc_off[:, None].astype(np.intp) + rank
+        esc_off = shard_excl_offsets(esc_i.sum(axis=1))
+        gidx = shard * cap_esc_s + esc_off[:, None] + rank
         if is_esc.any():
             cap_end = (shard + 1) * cap_esc_s
             if (gidx[is_esc] >= np.broadcast_to(cap_end, gidx.shape)[is_esc]).any():
@@ -514,7 +561,8 @@ class EventWireDecoder:
         is_wide = is_esc & (esc_vals == 0)  # nibble 8 marks a wide jump
         wide_i = is_wide.astype(np.int32)
         wrank = np.cumsum(wide_i, axis=1) - wide_i
-        gwidx = shard * cap_wide_s + wide_off[:, None].astype(np.intp) + wrank
+        wide_off = shard_excl_offsets(wide_i.sum(axis=1))
+        gwidx = shard * cap_wide_s + wide_off[:, None] + wrank
         if is_wide.any():
             cap_end = (shard + 1) * cap_wide_s
             if (gwidx[is_wide]
@@ -523,7 +571,17 @@ class EventWireDecoder:
                     "wire-format exception overflow: wide-jump buffer "
                     "bounds exceeded at the ULP event tier"
                 )
-        wide_vals = wide.reshape(-1)[np.minimum(gwidx, wide.size - 1)]
+        # The wide buffer ships as bytes (one per row, zero-padded); each
+        # shard's i32 slots occupy the first cap_wide_s*4 bytes of its span.
+        wb = wide_b.reshape(dp, B_s)
+        wide_flat = np.zeros(max(dp * cap_wide_s, 1), np.int32)
+        for s in range(dp):
+            if cap_wide_s:
+                wide_flat[s * cap_wide_s:(s + 1) * cap_wide_s] = (
+                    np.ascontiguousarray(wb[s, :cap_wide_s * 4])
+                    .view(np.int32)
+                )
+        wide_vals = wide_flat[np.minimum(gwidx, wide_flat.size - 1)]
         d = np.where(is_esc, np.where(is_wide, wide_vals, esc_vals), d)
 
         # segment machinery identical to the 4-bit tier

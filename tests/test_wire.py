@@ -547,39 +547,55 @@ def test_native_event_decode_matches_numpy(noise_std, noise_sampling):
 def _ulp_case(seed=31):
     """Synthetic but structurally valid ULP-tier wire arrays: random 2-bit
     symbol streams (~25% escapes — far denser than production, stressing
-    the flat escape/wide buffers), bf16-bit levels in the trained weights'
-    value range, consistent per-row offsets, random wide jumps, padding
-    rows."""
+    the flat escape buffer), anchor + i8 level deltas with zero markers
+    and escaped levels, a sprinkling of wide jumps (within the B//4-slot
+    budget), padding rows. Flat buffers are filled in row-major
+    consumption order — the decoder derives all offsets itself."""
     rng = np.random.default_rng(seed)
     B, T, K = 96, 250, 16
     stream = rng.integers(0, 256, (B, (T + 3) // 4)).astype(np.uint8)
-    # bf16 bits of values around the trained decoder's output (~0.2-1.2)
-    levels = (rng.integers(0x3E00, 0x3FA0, (B, K + 1))).astype(np.uint16)
+    # level wire: bf16-bit anchor around the trained decoder's output
+    # (~0.2-1.2), i8 deltas, ~10% zero markers, ~1 escaped level per
+    # 3 rows (buffer budget: one u16 slot per row)
+    lvl0 = rng.integers(0x3E00, 0x3FA0, B).astype(np.uint16)
+    lvl_d = rng.integers(-126, 127, (B, K)).astype(np.int8)
+    kind = rng.random((B, K))
+    lvl_d[kind < 0.10] = -128  # zero level
+    is_lesc = (kind >= 0.10) & (kind < 0.12)
+    lvl_d[is_lesc] = -127
+    total_lesc = int(is_lesc.sum())
+    assert total_lesc <= B
+    lvl_esc = np.zeros(B, np.uint16)
+    lvl_esc[:total_lesc] = rng.integers(0x3E00, 0x3FA0, total_lesc)
     sigma_q = rng.integers(0, 256, (B, K)).astype(np.uint8)
     ends = np.cumsum(rng.integers(2, 25, (B, K)), axis=1)
     ends = np.minimum(ends, T).astype(np.uint8)
-    # offsets must match the stream's actual escape counts (row-major)
+    # escape nibbles in row-major stream order (the synthetic buffer is
+    # sized to the actual count — far over the production 20/row budget)
     sym = np.empty((B, stream.shape[1] * 4), np.uint8)
     for j in range(4):
         sym[:, j::4] = (stream >> (2 * j)) & 3
     n_esc = (sym[:, :T] == 3).sum(1)
-    esc_off = (np.cumsum(n_esc) - n_esc).astype(np.uint32)
     total_esc = int(n_esc.sum())
     nibs = rng.integers(0, 16, total_esc).astype(np.uint8)
+    # wide jumps (nibble 8) must fit the B//4-slot flat buffer: keep ~12
+    nibs[nibs == 8] = 9
+    cap_wide = B // 4
+    wide_pos = rng.choice(total_esc, size=cap_wide // 2, replace=False)
+    nibs[wide_pos] = 8
     pad = total_esc % 2
     nf = np.concatenate([nibs, np.zeros(pad, np.uint8)])
     esc = (nf[0::2] | (nf[1::2] << 4)).astype(np.uint8)
-    # nibble 8 marks wide jumps; build the wide buffer in the same order
-    esc_rows = np.repeat(np.arange(B), n_esc)
-    n_wide = np.bincount(esc_rows[nibs == 8], minlength=B)
-    wide_off = (np.cumsum(n_wide) - n_wide).astype(np.uint16)
-    total_wide = int(n_wide.sum())
+    total_wide = int((nibs == 8).sum())
     # bounded so synthetic ordinals stay valid (non-NaN) bf16 bit patterns
-    wide = rng.integers(-6000, 6000, max(total_wide, 1)).astype(np.int32)
+    wf = np.zeros(cap_wide, np.int32)
+    wf[:total_wide] = rng.integers(-6000, 6000, total_wide)
+    wide_b = np.zeros(B, np.uint8)
+    wide_b[:cap_wide * 4] = wf.view(np.uint8)
     flags = np.zeros(B, np.uint8)
     ridx = rng.integers(-1, 50, B).astype(np.int32)
     coff = rng.integers(0, 8, B).astype(np.int32)
-    outs = (stream, levels, sigma_q, ends, esc, esc_off, wide, wide_off,
+    outs = (stream, lvl0, lvl_d, sigma_q, ends, esc, lvl_esc, wide_b,
             flags)
     return outs, ridx, coff
 
@@ -663,11 +679,14 @@ def test_int16_saturation_ulp_decoders_agree_on_corrupt_bits():
     from seq2squiggle_tpu.runtime.wire import EventWireDecoder
 
     outs, ridx, coff = _ulp_case(41)
-    levels = outs[1].copy()
-    levels[0, :] = 0x7FC0  # NaN bf16
-    levels[1, :] = 0x7F80  # +inf
-    levels[2, :] = 0x7F7F  # max finite bf16 (~3.39e38) -> clamps to 32767
-    outs = (outs[0], levels) + outs[2:]
+    lvl0 = outs[1].copy()
+    lvl_d = outs[2].copy()
+    lvl0[0] = 0x7FC0  # NaN bf16
+    lvl0[1] = 0x7F80  # +inf
+    lvl0[2] = 0x7F7F  # max finite bf16 (~3.39e38) -> clamps to 32767
+    lvl_d[:3, :] = 0  # whole row inherits the corrupted anchor
+    outs = (outs[0], lvl0, lvl_d) + outs[3:]
+    ridx[:3] = 1  # the corrupted rows must be live to reach the output
     for noise_std, noise_sampling in [(0.0, False), (1.0, True)]:
         knobs = PredictKnobs(wire_bits=2, noise_std=noise_std,
                              noise_sampling=noise_sampling)
