@@ -341,6 +341,46 @@ def simulate_run(
                 state["active"] = (new_fn, new_knobs)
         return unframe_wire(raw_buf, 16, T_row, K_row)
 
+    def _probe_ulp_budgets(arrs):
+        """First-batch escape-budget probe (runs once, ~1 ms): if any of
+        the ULP tier's batch-flat budgets has < 8 sigma of Poisson
+        headroom at this model's measured escape rate, step down to the
+        4-bit event tier NOW — one proactive recompile instead of
+        repeated overflow -> raw-recompute churn later. A mean-usage
+        threshold would be wrong: the R9 demo runs at 81% of the escape
+        budget with 40+ sigma of headroom (batch-flat buffers only care
+        about the batch TOTAL)."""
+        from .predict import WIRE_ESC_NIB_PER_ROW
+
+        stream, _, lvl_d, _, _, esc = arrs[:6]
+        B_rows = stream.shape[0]
+        byte_vals = np.arange(256, dtype=np.uint16)
+        esc_lut = sum(
+            (((byte_vals >> (2 * j)) & 3) == 3).astype(np.uint8)
+            for j in range(4)
+        )
+        usage = [
+            (int(esc_lut[stream].sum()), B_rows * WIRE_ESC_NIB_PER_ROW,
+             "escape"),
+            # nibble 8 marks wides; unused esc slots are 0, never 8
+            (int((((esc & 0xF) == 8).sum()) + ((esc >> 4) == 8).sum()),
+             max(B_rows // 4, 1), "wide-jump"),
+            (int((lvl_d == np.int8(-127)).sum()), B_rows, "level-escape"),
+        ]
+        for n, cap, name in usage:
+            if n + 8.0 * np.sqrt(n) > cap:
+                fn_cur, knobs_cur = state["active"]
+                if knobs_cur.wire_bits != 2:
+                    return
+                logger.info(
+                    f"ULP-tier probe: batch 0 used {n}/{cap} {name} slots "
+                    "(< 8 sigma headroom); switching to the 4-bit event "
+                    "tier proactively."
+                )
+                new_knobs = dataclasses_replace_wire(knobs_cur, 4)
+                state["active"] = (build_predict_fn(new_knobs), new_knobs)
+                return
+
     def drain(entry):
         buf, batch, bits = entry
         segments = batch.segments
@@ -349,6 +389,9 @@ def simulate_run(
 
         flat = signal_np = counts_np = None
         arrs = unframe_wire(buf, bits, T_row, K_row)
+        if bits == 2 and not state.get("ulp_probed"):
+            state["ulp_probed"] = True
+            _probe_ulp_budgets(arrs)
         if bits in (2, 4):  # event tiers: host-side noise regeneration
             if state.get("event_decoder", {}).get(bits) is None:
                 from .wire import EventWireDecoder

@@ -47,6 +47,35 @@ def test_e2e_deterministic_and_batch_size_invariant(tmp_path):
         np.testing.assert_array_equal(sig_a, sig_c)
 
 
+def test_e2e_ulp_probe_downgrades_rough_model(tmp_path, caplog):
+    """A model whose decoder escapes the ULP symbol alphabet too often
+    (random weights here) must be caught by the FIRST-BATCH budget probe
+    and stepped down to the 4-bit event tier in one move — not ground
+    through repeated overflow -> raw-recompute churn (VERDICT r2 next
+    #8: tier autotune)."""
+    import logging
+
+    cfg = load_config(None)  # bfloat16: the ULP tier is the default
+    set_seeds(7)
+    out = tmp_path / "probe.blow5"
+    with caplog.at_level(logging.INFO, logger="seq2squiggle_tpu"):
+        stats = simulate_run(
+            config=cfg, saved_weights="random", fasta=TEST_FASTA,
+            read_input=True, n=-1, r=1000, c=-1, out=str(out),
+            profile="dna-r10-min", dwell_mean=None, dwell_std=0.0,
+            noise_std=2.0, noise_sampling=True, duration_sampling=True,
+            distr="expon", predict_batch_size=64,
+            export_every_n_samples=1_000_000, seed=7, show_progress=False,
+        )
+    assert stats["reads"] == 7
+    probes = [r for r in caplog.records if "ULP-tier probe" in r.message]
+    churn = [r for r in caplog.records
+             if "overflows before" in r.message]
+    assert len(probes) == 1, "the budget probe must fire exactly once"
+    # at most the in-flight batch 0 itself recomputes raw; no repeat churn
+    assert len(churn) <= 1
+
+
 def test_e2e_static_dwell_no_noise(tmp_path):
     """Ideal mode: constant dwell, no noise -> deterministic signal lengths."""
     out = tmp_path / "out.slow5"
