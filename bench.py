@@ -2,19 +2,28 @@
 
 BASELINE.json config 2: reference mode on example/lamda_genome.fasta,
 -n 10000, default noise + duration samplers, BLOW5 out. North star:
-< 60 s wall on one TPU v5e chip.
+< 60 s wall on one TPU v5e chip AND >= 50x a CPU baseline.
 
 Prints ONE JSON line:
   {"metric": "ksamples_per_s_per_chip", "value": ..., "unit": "kSamples/s",
-   "vs_baseline": <north-star wall-clock target / measured wall>}
+   "vs_baseline": <north-star wall-clock target / median measured wall>}
 
-vs_baseline > 1.0 means the 10k-read simulation beat the 60 s target (the
-reference itself cannot run in this image - its pyslow5/pod5/pysam/lightning
-wheels are absent - so the driver-defined target is the anchor).
+The measured config runs BENCH_RUNS times (default 3) and the headline is
+the MEDIAN: the tunneled chip's D2H bandwidth fluctuates ~2x between runs
+(BASELINE.md), so single-sample walls are noise. detail.runs carries every
+wall for the spread. detail.vs_cpu is the measured TPU/CPU throughput
+ratio: a subprocess runs the identical simulate_run config on the JAX CPU
+backend (BENCH_CPU_READS reads, default 32 - CPU is ~15 kSamples/s) and
+the ratio quantifies the north star's ">= 50x CPU baseline" clause (the
+reference itself cannot execute in this image - its pyslow5/pod5/pysam/
+lightning wheels are absent - so our own CPU backend is the denominator).
+Set BENCH_SKIP_CPU=1 to skip that phase.
 """
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
@@ -23,64 +32,140 @@ N_READS = int(os.environ.get("BENCH_READS", 10_000))
 # 2048-chunk batches halve the per-batch device round trips vs the CLI
 # default of 1024 — significant over the network-tunneled chip.
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
+N_CPU_READS = int(os.environ.get("BENCH_CPU_READS", 32))
 TARGET_SECONDS = 60.0
 
 
-def main():
-    from seq2squiggle_tpu.utils import enable_compile_cache, set_seeds, setup_logging
-
-    enable_compile_cache()
-    setup_logging("warning")
-
-    from seq2squiggle_tpu.config import load_config
-    from seq2squiggle_tpu.runtime.simulate import simulate_run
-
-    cfg = load_config(None)  # bfloat16 compute
-    set_seeds(42)
-
-    # Use the committed trained checkpoint when present: an untrained model
-    # emits ~94% exact zeros after the decoder ReLU, which the exporter
-    # strips (reference semantics) — that would undercount the samples/s a
-    # real simulation moves off-chip by >10x.
-    weights = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "assets", "bench-weights-R10.npz")
-    weights = weights if os.path.exists(weights) else "random"
-
-    out = os.path.join(tempfile.mkdtemp(prefix="bench_"), "lambda_10k.blow5")
-
-    # Warm-up: compile the inner loop on a few reads so the measured run is
-    # steady-state (first XLA compile is excluded, as is standard).
-    warm = dict(
+def sim_kwargs(cfg, weights, out, batch):
+    return dict(
         config=dict(cfg), saved_weights=weights,
         fasta="/root/reference/example/lamda_genome.fasta", read_input=False,
         n=64, r=1000, c=-1, out=out, profile="dna-r10-prom",
         dwell_mean=None, dwell_std=0.0, noise_std=2.0, noise_sampling=True,
-        duration_sampling=True, distr="expon", predict_batch_size=BATCH,
+        duration_sampling=True, distr="expon", predict_batch_size=batch,
         # Flush every ~64k chunks so BLOW5 encode/compress/write streams
         # through the AsyncWriter thread DURING the loop; one deferred
         # final flush was measured adding ~4s of dead single-core time.
         export_every_n_samples=65_536, seed=42, show_progress=False,
     )
+
+
+def _weights():
+    w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "assets", "bench-weights-R10.npz")
+    # Fall back to random weights only if the committed checkpoint is gone:
+    # an untrained model emits ~94% exact zeros after the decoder ReLU,
+    # which the exporter strips (reference semantics) — that would
+    # undercount the samples/s a real simulation moves off-chip by >10x.
+    return w if os.path.exists(w) else "random"
+
+
+def _setup():
+    from seq2squiggle_tpu.utils import (enable_compile_cache, set_seeds,
+                                        setup_logging)
+
+    enable_compile_cache()
+    setup_logging("warning")
+
+    from seq2squiggle_tpu.config import load_config
+
+    cfg = load_config(None)  # bfloat16 compute
+    set_seeds(42)
+    return cfg
+
+
+def cpu_denominator_main():
+    """BENCH_MODE=cpu subprocess: same config on the JAX CPU backend."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cfg = _setup()
+    from seq2squiggle_tpu.runtime.simulate import simulate_run
+
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_cpu_"), "cpu.blow5")
+    # CPU batches of 256 compile faster and run at the same samples/s
+    warm = sim_kwargs(cfg, _weights(), out, batch=256)
+    warm["n"] = 8
+    simulate_run(**warm)
+    os.remove(out)
+    stats = simulate_run(**{**warm, "n": N_CPU_READS})
+    print(json.dumps({
+        "cpu_ksamples_per_s": round(stats["samples"] / stats["seconds"] / 1e3,
+                                    2),
+        "cpu_reads": stats["reads"],
+    }))
+    return 0
+
+
+def measure_cpu_denominator():
+    """Run the CPU-backend measurement in a subprocess (the parent process
+    is already bound to the TPU backend; PYTHONPATH='' drops the
+    sitecustomize that force-registers it)."""
+    env = dict(os.environ, BENCH_MODE="cpu", PYTHONPATH="",
+               JAX_PLATFORMS="cpu")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except (subprocess.SubprocessError, IndexError, ValueError,
+            json.JSONDecodeError):
+        return None
+
+
+def main():
+    if os.environ.get("BENCH_MODE") == "cpu":
+        return cpu_denominator_main()
+
+    cfg = _setup()
+    from seq2squiggle_tpu.runtime.simulate import simulate_run
+
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_"), "lambda_10k.blow5")
+    warm = sim_kwargs(cfg, _weights(), out, BATCH)
+
+    # Warm-up: compile the inner loop on a few reads so the measured runs
+    # are steady-state (first XLA compile is excluded, as is standard).
     simulate_run(**warm)
     os.remove(out)
 
-    t0 = time.perf_counter()
-    stats = simulate_run(**{**warm, "n": N_READS})
-    wall = time.perf_counter() - t0
+    runs = []
+    for _ in range(max(N_RUNS, 1)):
+        t0 = time.perf_counter()
+        stats = simulate_run(**{**warm, "n": N_READS})
+        wall = time.perf_counter() - t0
+        runs.append((wall, stats))
+        blow5_bytes = os.path.getsize(out)
+        os.remove(out)
+
+    walls = sorted(w for w, _ in runs)
+    med_wall, med_stats = sorted(runs, key=lambda r: r[0])[len(runs) // 2]
+    ks = round(med_stats["samples"] / med_stats["seconds"] / 1e3, 1)
+
+    detail = {
+        "reads": med_stats["reads"],
+        "samples": med_stats["samples"],
+        "runs_wall_seconds": [round(w, 2) for w in walls],
+        "median_wall_seconds": round(med_wall, 2),
+        "spread_wall_seconds": round(walls[-1] - walls[0], 2),
+        "north_star": f"{N_READS} lambda reads -> BLOW5 < {TARGET_SECONDS}s"
+                      " and >= 50x CPU",
+        "blow5_bytes": blow5_bytes,
+    }
+    if not os.environ.get("BENCH_SKIP_CPU"):
+        cpu = measure_cpu_denominator()
+        if cpu:
+            detail["cpu_ksamples_per_s"] = cpu["cpu_ksamples_per_s"]
+            detail["vs_cpu"] = round(ks / cpu["cpu_ksamples_per_s"], 1)
 
     result = {
         "metric": "ksamples_per_s_per_chip",
-        "value": round(stats["samples"] / stats["seconds"] / 1e3, 1),
+        "value": ks,
         "unit": "kSamples/s",
-        "vs_baseline": round(TARGET_SECONDS / wall, 3),
-        "detail": {
-            "reads": stats["reads"],
-            "samples": stats["samples"],
-            "inner_seconds": round(stats["seconds"], 2),
-            "wall_seconds": round(wall, 2),
-            "north_star": f"{N_READS} lambda reads -> BLOW5 < {TARGET_SECONDS}s",
-            "blow5_bytes": os.path.getsize(out),
-        },
+        "vs_baseline": round(TARGET_SECONDS / med_wall, 3),
+        "detail": detail,
     }
     print(json.dumps(result))
     return 0
