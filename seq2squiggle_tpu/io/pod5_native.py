@@ -269,17 +269,69 @@ def _arrow_file_bytes(schema, batch) -> bytes:
 
 
 class Pod5NativeWriter:
-    """Buffered single-pass POD5 writer (same contract as the pod5 wheel's
-    Writer used by the reference: all reads held until close)."""
+    """STREAMING POD5 writer: the signal table (the memory hog — vbz blobs
+    of every read) is written incrementally as Arrow record batches into
+    the open container file, so memory stays flat however many reads a run
+    produces; only the small per-read scalar metadata (~100 B/read) is held
+    for the reads table at close(). The reference buffers EVERY read in RAM
+    for a single pod5.Writer pass (signal_io.py:175-282, warned about at
+    inference.py:72-79) — a deliberate improvement, not replicated
+    behavior. Layout identical to the buffered version (signal table
+    first), so read_pod5 round-trips unchanged."""
+
+    # signal rows buffered before an Arrow record batch is emitted (keeps
+    # per-batch IPC framing overhead negligible without holding much data)
+    SIGNAL_FLUSH_ROWS = 512
 
     def __init__(self, filename: str):
         self.filename = str(filename)
         self.file_identifier = str(uuid.uuid4())
-        self._reads: List[dict] = []
+        self._reads: List[dict] = []  # metadata only, no signal arrays
         self._run_info: Optional[dict] = None
+        self._fh = None
+        self._sig_writer = None
+        self._signal_offset = 0
+        self._section_marker = b""
+        self._sig_row_count = 0
+        self._sig_read_ids: List[bytes] = []
+        self._sig_blobs: List[bytes] = []
+        self._sig_samples: List[int] = []
 
     def set_run_info(self, **kwargs):
         self._run_info = kwargs
+
+    def _ensure_open(self):
+        import pyarrow as pa
+
+        if self._fh is not None:
+            return
+        self._fh = open(self.filename, "wb")
+        self._section_marker = uuid.uuid4().bytes
+        self._fh.write(SIGNATURE)
+        self._fh.write(self._section_marker)
+        self._signal_offset = self._fh.tell()
+        self._sig_writer = pa.ipc.new_file(
+            pa.PythonFile(self._fh), _signal_schema(self.file_identifier)
+        )
+
+    def _flush_signal_rows(self):
+        import pyarrow as pa
+
+        if not self._sig_blobs:
+            return
+        batch = pa.record_batch(
+            [
+                pa.array(self._sig_read_ids, pa.binary(16)),
+                pa.array(self._sig_blobs, pa.large_binary()),
+                pa.array(self._sig_samples, pa.uint32()),
+            ],
+            schema=pa.schema(
+                [f.remove_metadata()
+                 for f in _signal_schema(self.file_identifier)]
+            ),
+        )
+        self._sig_writer.write_batch(batch)
+        self._sig_read_ids, self._sig_blobs, self._sig_samples = [], [], []
 
     def add_read(self, *, read_id: uuid.UUID, signal: np.ndarray,
                  channel: int = 123, well: int = 3,
@@ -288,8 +340,20 @@ class Pod5NativeWriter:
                  start_sample: int = 0, median_before: float = 0.0,
                  end_reason: str = "signal_positive",
                  end_reason_forced: bool = False):
+        self._ensure_open()
+        sig = np.asarray(signal, np.int16)
+        rows = []
+        for off in range(0, max(len(sig), 1), SIGNAL_CHUNK):
+            chunk = sig[off : off + SIGNAL_CHUNK]
+            rows.append(self._sig_row_count)
+            self._sig_row_count += 1
+            self._sig_read_ids.append(read_id.bytes)
+            self._sig_blobs.append(vbz_compress(chunk))
+            self._sig_samples.append(len(chunk))
+        if len(self._sig_blobs) >= self.SIGNAL_FLUSH_ROWS:
+            self._flush_signal_rows()
         self._reads.append(dict(
-            read_id=read_id, signal=np.asarray(signal, np.int16),
+            read_id=read_id, signal_rows=rows, num_samples=len(sig),
             channel=channel, well=well, pore_type=pore_type,
             calibration_offset=calibration_offset,
             calibration_scale=calibration_scale, read_number=read_number,
@@ -302,32 +366,21 @@ class Pod5NativeWriter:
 
         if self._run_info is None:
             raise ValueError("set_run_info() must be called before close()")
+        self._ensure_open()  # zero-read runs still produce a valid file
 
         fid = self.file_identifier
-
-        # ---- signal table ----
-        sig_read_ids, sig_blobs, sig_samples = [], [], []
-        read_signal_rows: List[List[int]] = []
-        for read in self._reads:
-            rows = []
-            sig = read["signal"]
-            for off in range(0, max(len(sig), 1), SIGNAL_CHUNK):
-                chunk = sig[off : off + SIGNAL_CHUNK]
-                rows.append(len(sig_blobs))
-                sig_read_ids.append(read["read_id"].bytes)
-                sig_blobs.append(vbz_compress(chunk))
-                sig_samples.append(len(chunk))
-            read_signal_rows.append(rows)
-
         signal_schema = _signal_schema(fid)
-        signal_batch = pa.record_batch(
-            [
-                pa.array(sig_read_ids, pa.binary(16)),
-                pa.array(sig_blobs, pa.large_binary()),
-                pa.array(sig_samples, pa.uint32()),
-            ],
-            schema=pa.schema([f.remove_metadata() for f in signal_schema]),
-        )
+        read_signal_rows = [r["signal_rows"] for r in self._reads]
+
+        # ---- finish the streamed signal table ----
+        self._flush_signal_rows()
+        self._sig_writer.close()
+        fh = self._fh
+        contents = [dict(offset=self._signal_offset,
+                         length=fh.tell() - self._signal_offset,
+                         content_type=CONTENT_SIGNAL)]
+        fh.write(b"\0" * ((-fh.tell()) % 8))
+        fh.write(self._section_marker)
 
         # ---- run info table (single row) ----
         ri = dict(self._run_info)
@@ -405,37 +458,33 @@ class Pod5NativeWriter:
                 pa.array([r["end_reason_forced"] for r in self._reads],
                          pa.bool_()),
                 dict_arr([run_info_id] * n),
-                pa.array([len(r["signal"]) for r in self._reads], pa.uint64()),
+                pa.array([r["num_samples"] for r in self._reads],
+                         pa.uint64()),
             ],
             schema=pa.schema([f.remove_metadata() for f in reads_schema]),
         )
 
-        section_marker = uuid.uuid4().bytes
-        contents = []
-        with open(self.filename, "wb") as fh:
-            fh.write(SIGNATURE)
-            fh.write(section_marker)
-
-            for content_type, schema, batch in (
-                (CONTENT_SIGNAL, signal_schema, signal_batch),
-                (CONTENT_RUN_INFO, run_schema, run_batch),
-                (CONTENT_READS, reads_schema, reads_batch),
-            ):
-                offset = fh.tell()
-                data = _arrow_file_bytes(schema, batch)
-                fh.write(data)
-                contents.append(dict(offset=offset, length=len(data),
-                                     content_type=content_type))
-                fh.write(b"\0" * ((-fh.tell()) % 8))
-                fh.write(section_marker)
-
-            footer = _build_footer(fid, contents)
-            fh.write(FOOTER_MAGIC)
-            fh.write(footer)
+        for content_type, schema, batch in (
+            (CONTENT_RUN_INFO, run_schema, run_batch),
+            (CONTENT_READS, reads_schema, reads_batch),
+        ):
+            offset = fh.tell()
+            data = _arrow_file_bytes(schema, batch)
+            fh.write(data)
+            contents.append(dict(offset=offset, length=len(data),
+                                 content_type=content_type))
             fh.write(b"\0" * ((-fh.tell()) % 8))
-            fh.write(struct.pack("<q", len(footer)))
-            fh.write(section_marker)
-            fh.write(SIGNATURE)
+            fh.write(self._section_marker)
+
+        footer = _build_footer(fid, contents)
+        fh.write(FOOTER_MAGIC)
+        fh.write(footer)
+        fh.write(b"\0" * ((-fh.tell()) % 8))
+        fh.write(struct.pack("<q", len(footer)))
+        fh.write(self._section_marker)
+        fh.write(SIGNATURE)
+        fh.close()
+        self._fh = None
         self._reads = []
 
 

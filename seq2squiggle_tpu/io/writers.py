@@ -170,11 +170,15 @@ class BLOW5Writer(_WriterBase):
 
 
 class POD5Writer(_WriterBase):
-    """POD5 writer: the `pod5` wheel when present, else the built-in native
-    Arrow/flatbuffers implementation (io/pod5_native.py).
+    """STREAMING POD5 writer: the `pod5` wheel when present, else the
+    built-in native Arrow/flatbuffers implementation (io/pod5_native.py).
 
-    The reference buffers all reads in RAM and writes once (signal_io.py:
-    175-282, warned about at inference.py:72-79); we keep that contract.
+    The reference buffers every read in RAM for one pod5.Writer pass
+    (signal_io.py:175-282, warned about at inference.py:72-79). Both of
+    our backends instead write reads as they arrive — the native writer
+    streams signal record batches into the open container, and the wheel's
+    Writer natively supports incremental add_read — so memory stays flat
+    at any run size.
     """
 
     def __init__(self, *args, **kwargs):
@@ -189,9 +193,24 @@ class POD5Writer(_WriterBase):
                 "pod5 wheel not installed; using the built-in native POD5 "
                 "writer."
             )
-        self._pending = []
+        self._writer = None
+        self._run_info = None
+
+    def _ensure_open(self):
+        if self._writer is not None:
+            return
+        if self._pod5 is not None:
+            self._run_info = self._pod5.RunInfo(**self._run_info_fields())
+            self._writer = self._pod5.Writer(self.filename)
+        else:
+            from .pod5_native import Pod5NativeWriter
+
+            self._writer = Pod5NativeWriter(self.filename)
+            self._writer.set_run_info(**self._run_info_fields())
 
     def write_batch(self, signals: Dict[str, np.ndarray]):
+        self._ensure_open()
+        scale = self.signal_range / self.digitisation
         for read_id, signal in signals.items():
             signal = np.asarray(signal)
             if signal.size == 0:
@@ -203,15 +222,36 @@ class POD5Writer(_WriterBase):
                 rid = uuid.uuid5(uuid.NAMESPACE_DNS, str(read_id))
             else:
                 rid = indexed_uuid(self._global_read_index() + 1)
-            self._pending.append(
-                dict(
-                    read_id=rid,
-                    offset=offset_value,
-                    read_number=self._global_read_index(),
-                    median_before=median_before_value,
-                    signal=raw,
+            if self._pod5 is not None:
+                pod5 = self._pod5
+                self._writer.add_read(
+                    pod5.Read(
+                        read_id=rid,
+                        pore=pod5.Pore(channel=123, well=3,
+                                       pore_type="not_set"),
+                        calibration=pod5.Calibration(
+                            offset=offset_value, scale=scale
+                        ),
+                        read_number=self._global_read_index(),
+                        start_sample=0,
+                        median_before=median_before_value,
+                        end_reason=pod5.EndReason(
+                            reason=pod5.EndReasonEnum.SIGNAL_POSITIVE,
+                            forced=False,
+                        ),
+                        run_info=self._run_info,
+                        signal=raw,
+                    )
                 )
-            )
+            else:
+                self._writer.add_read(
+                    read_id=rid,
+                    signal=raw,
+                    calibration_offset=float(offset_value),
+                    calibration_scale=float(scale),
+                    read_number=self._global_read_index(),
+                    median_before=float(median_before_value),
+                )
             self.read_counter += 1
 
     def _run_info_fields(self):
@@ -240,46 +280,7 @@ class POD5Writer(_WriterBase):
         )
 
     def close(self):
-        if not self._pending:
+        if self._writer is None:
             return
-        scale = self.signal_range / self.digitisation
-        if self._pod5 is not None:
-            pod5 = self._pod5
-            run_info = pod5.RunInfo(**self._run_info_fields())
-            with pod5.Writer(self.filename) as writer:
-                for kw in self._pending:
-                    writer.add_read(
-                        pod5.Read(
-                            read_id=kw["read_id"],
-                            pore=pod5.Pore(channel=123, well=3,
-                                           pore_type="not_set"),
-                            calibration=pod5.Calibration(
-                                offset=kw["offset"], scale=scale
-                            ),
-                            read_number=kw["read_number"],
-                            start_sample=0,
-                            median_before=kw["median_before"],
-                            end_reason=pod5.EndReason(
-                                reason=pod5.EndReasonEnum.SIGNAL_POSITIVE,
-                                forced=False,
-                            ),
-                            run_info=run_info,
-                            signal=kw["signal"],
-                        )
-                    )
-        else:
-            from .pod5_native import Pod5NativeWriter
-
-            writer = Pod5NativeWriter(self.filename)
-            writer.set_run_info(**self._run_info_fields())
-            for kw in self._pending:
-                writer.add_read(
-                    read_id=kw["read_id"],
-                    signal=kw["signal"],
-                    calibration_offset=float(kw["offset"]),
-                    calibration_scale=float(scale),
-                    read_number=kw["read_number"],
-                    median_before=float(kw["median_before"]),
-                )
-            writer.close()
-        self._pending = []
+        self._writer.close()
+        self._writer = None

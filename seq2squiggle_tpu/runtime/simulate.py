@@ -48,14 +48,13 @@ def get_writer(out, profile_dict, ideal_mode, export_every_n_samples,
         )
         return writer, export_every_n_samples
     if out.endswith(".pod5"):
-        logger.warning(
-            "POD5 output buffers all reads in memory before a single write; "
-            "consider BLOW5/SLOW5 for large simulations."
-        )
+        # POD5 streams too (io/pod5_native.Pod5NativeWriter writes signal
+        # record batches incrementally), unlike the reference's buffer-all
+        # pod5 pass (inference.py:72-79) — same flush cadence as BLOW5.
         writer = POD5Writer(
             out, profile_dict, ideal_mode, profile_name, preserve_read_ids, rng
         )
-        return writer, float("inf")
+        return writer, export_every_n_samples
     raise ValueError("Output file must have .pod5, .slow5, or .blow5 extension.")
 
 

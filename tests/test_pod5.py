@@ -50,6 +50,40 @@ def test_pod5_native_roundtrip(tmp_path):
         assert read["calibration_offset"] == pytest.approx(-120.5)
 
 
+def test_pod5_streaming_multi_flush(tmp_path):
+    """Reads stream into the container across many flushes with FLAT
+    memory: after every add_read the writer retains only scalar metadata
+    (no signal arrays, no unbounded vbz blobs), and the finished file
+    round-trips identically to a single-batch write (VERDICT r2 next #6;
+    the reference buffers everything, signal_io.py:175-282)."""
+    path = str(tmp_path / "stream.pod5")
+    writer = Pod5NativeWriter(path)
+    writer.set_run_info(sample_rate=5000, sequencing_kit="SQK-LSK114",
+                        flow_cell_product_code="FLO-MIN114",
+                        sample_id="stream")
+    rng = np.random.default_rng(5)
+    n_reads = 2 * Pod5NativeWriter.SIGNAL_FLUSH_ROWS + 37  # >2 batch flushes
+    sigs = []
+    for i in range(n_reads):
+        sig = rng.integers(0, 2000, int(rng.integers(20, 400))).astype(
+            np.int16
+        )
+        sigs.append(sig)
+        writer.add_read(read_id=indexed_uuid(i + 1), signal=sig,
+                        read_number=i)
+        # flat memory: metadata only — no read dict may hold an array, and
+        # the signal-row staging buffer stays below one flush quantum
+        assert all("signal" not in r for r in writer._reads)
+        assert len(writer._sig_blobs) < Pod5NativeWriter.SIGNAL_FLUSH_ROWS
+    writer.close()
+
+    data = read_pod5(path)
+    assert len(data["reads"]) == n_reads
+    for i, (read, sig) in enumerate(zip(data["reads"], sigs)):
+        assert read["read_id"] == str(indexed_uuid(i + 1))
+        np.testing.assert_array_equal(read["signal"], sig)
+
+
 def test_pod5_writer_facade(tmp_path):
     path = str(tmp_path / "out.pod5")
     profile = get_profile("dna-r10-min")
