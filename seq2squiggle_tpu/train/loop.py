@@ -268,19 +268,24 @@ def train_run(
     n_proc = jax.process_count()
     is_primary = jax.process_index() == 0
 
+    # Multi-host: every process iterates the identical global permutation
+    # (same shuffle seed) but GATHERS only the slab its local devices own
+    # on the 'dp' axis (epoch_batches local_rows) — the other processes'
+    # rows are never read from the memmaps. No data ever crosses hosts.
+    local_rows = None
+    if mesh is not None and n_proc > 1:
+        pid = jax.process_index()
+        local_rows = slice(
+            pid * batch_size // n_proc, (pid + 1) * batch_size // n_proc
+        )
+
     def place_batch(batch, mask):
         if mesh is None:
             return batch, jnp.asarray(mask)
         if n_proc > 1:
-            # Multi-host: every process computes the identical global batch
-            # (same shuffle seed); each contributes the slab its local
-            # devices own on the 'dp' axis. No data ever crosses hosts.
-            pid = jax.process_index()
-            rows = slice(
-                pid * batch_size // n_proc, (pid + 1) * batch_size // n_proc
-            )
+            # batch/mask are already this process's slab
             put = lambda v: jax.make_array_from_process_local_data(  # noqa: E731
-                _bsh, np.asarray(v)[rows]
+                _bsh, np.asarray(v)
             )
         else:
             put = lambda v: jax.device_put(v, _bsh)  # noqa: E731
@@ -294,7 +299,8 @@ def train_run(
     last_metrics: Dict[str, float] = {}
     for epoch in range(start_epoch, int(config["max_epochs"])):
         for i, (batch, mask) in enumerate(
-            epoch_batches(train_ds, batch_size, rng, shuffle=True)
+            epoch_batches(train_ds, batch_size, rng, shuffle=True,
+                          local_rows=local_rows)
         ):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
@@ -315,7 +321,9 @@ def train_run(
         val_accum: Dict[str, float] = {}
         n_val = 0
         first_batch = None
-        for batch, mask in epoch_batches(valid_ds, batch_size, rng, shuffle=False):
+        for batch, mask in epoch_batches(valid_ds, batch_size, rng,
+                                         shuffle=False,
+                                         local_rows=local_rows):
             batch, mask = place_batch(batch, mask)
             metrics = valid_step(params, batch, mask)
             if first_batch is None:

@@ -73,6 +73,50 @@ def _make_training_dir(tmp_path, cfg, n_files=3, chunks_per_file=24):
     return str(outdir)
 
 
+def test_epoch_batches_local_rows_gathers_only_local_slab(tmp_path):
+    """Multi-host batch prep: with local_rows, each process must (a) read
+    ONLY its slab's indices from the memmaps and (b) produce exactly its
+    slice of the global batch, so concatenating the per-process slabs
+    reproduces single-host batches bit-for-bit (VERDICT r2 next #9)."""
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg, n_files=2,
+                                   chunks_per_file=20)
+    from seq2squiggle_tpu.train.data import (
+        ChunkDataset, epoch_batches, load_file_groups,
+    )
+
+    files, _ = load_file_groups(train_dir, None, 0.5, seed=0)
+    ds = ChunkDataset(files, 10**9, cfg)
+    B, n_proc = 8, 2
+
+    global_batches = list(
+        epoch_batches(ds, B, np.random.default_rng(3), prefetch=0)
+    )
+    for pid in range(n_proc):
+        rows = slice(pid * B // n_proc, (pid + 1) * B // n_proc)
+        seen_sizes = []
+        orig_get = ds.get_batch
+
+        def spying_get(indices):
+            seen_sizes.append(len(indices))
+            return orig_get(indices)
+
+        ds.get_batch = spying_get
+        try:
+            local = list(
+                epoch_batches(ds, B, np.random.default_rng(3), prefetch=0,
+                              local_rows=rows)
+            )
+        finally:
+            ds.get_batch = orig_get
+        assert seen_sizes == [B // n_proc] * len(global_batches)
+        assert len(local) == len(global_batches)
+        for (gb, gm), (lb, lm) in zip(global_batches, local):
+            np.testing.assert_array_equal(lm, gm[rows])
+            for key in gb:
+                np.testing.assert_array_equal(lb[key], gb[key][rows])
+
+
 def test_file_pairing_mismatch_errors(tmp_path):
     """A missing or extra per-kind .npy must hard-error, not silently
     mispair chunks with the wrong targets (reference check_file_order,
