@@ -26,6 +26,7 @@ behavioral contract and uses this module when the wheel is missing.
 from __future__ import annotations
 
 import logging
+import os
 import struct
 import uuid
 from datetime import datetime, timezone
@@ -310,8 +311,21 @@ class Pod5NativeWriter:
         self._fh.write(SIGNATURE)
         self._fh.write(self._section_marker)
         self._signal_offset = self._fh.tell()
+        # The signal table streams into a sibling temp file through
+        # pa.OSFile — a pure-native sink at origin 0, so the Arrow IPC
+        # file is self-contained (its internal offsets are relative to
+        # ITS start) and close() splices it into the container verbatim.
+        # Two constraints force this shape: (a) wrapping the container's
+        # Python file in pa.PythonFile makes every Arrow write re-enter
+        # Python from C++, observed to SEGFAULT when another thread is
+        # concurrently inside a JAX device->host transfer on the
+        # experimental axon backend (round-3 50k-read POD5 crash); (b) a
+        # seekable native sink at a nonzero container offset makes
+        # pyarrow emit absolute positions, corrupting the embedded file.
+        self._sig_tmp = self.filename + ".sigtmp"
+        self._sig_fh = pa.OSFile(self._sig_tmp, "wb")
         self._sig_writer = pa.ipc.new_file(
-            pa.PythonFile(self._fh), _signal_schema(self.file_identifier)
+            self._sig_fh, _signal_schema(self.file_identifier)
         )
 
     def _flush_signal_rows(self):
@@ -372,10 +386,16 @@ class Pod5NativeWriter:
         signal_schema = _signal_schema(fid)
         read_signal_rows = [r["signal_rows"] for r in self._reads]
 
-        # ---- finish the streamed signal table ----
+        # ---- finish the streamed signal table, splice into the container
         self._flush_signal_rows()
         self._sig_writer.close()
+        self._sig_fh.close()
         fh = self._fh
+        import shutil
+
+        with open(self._sig_tmp, "rb") as sig_in:
+            shutil.copyfileobj(sig_in, fh, length=16 * 1024 * 1024)
+        os.remove(self._sig_tmp)
         contents = [dict(offset=self._signal_offset,
                          length=fh.tell() - self._signal_offset,
                          content_type=CONTENT_SIGNAL)]

@@ -62,7 +62,7 @@ class PredictKnobs:
     # (~229 B/row, 2.2x): per-event levels/stdevs/boundaries + 4-bit CLEAN
     # within-event deltas; the host regenerates the Gaussian noise from
     # the same threefry keys (see _pack_event_wire). 2 = the ULP event
-    # tier (~147 B/row, 3.4x): bf16 event levels + 2-bit ULP deltas with
+    # tier (~127 B/row, 4.0x): bf16 event levels + 2-bit ULP deltas with
     # batch-flat escape buffers (see _pack_event_wire_ulp; requires
     # bfloat16 compute). The D2H link is the measured loop bottleneck, so
     # fewer bytes = faster runs.

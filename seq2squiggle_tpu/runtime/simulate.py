@@ -3,7 +3,7 @@
 Equivalent of the reference inference_run (src/seq2squiggle/inference.py:
 270-427), restructured around the TPU inner loop: resolve chemistry profile
 and knobs, load weights, stream reads -> chunk batches -> jitted device step
--> streaming BLOW5/SLOW5 (or buffered POD5) export. Host work for batch N
+-> streaming BLOW5/SLOW5/POD5 export. Host work for batch N
 overlaps device compute for batch N+1 via JAX async dispatch.
 """
 
