@@ -392,12 +392,21 @@ def sweep(sweep_id, count, seed, model, config, verbosity):
 
 @main.command()
 def version():
-    """Get the version of seq2squiggle-tpu and its core dependencies."""
+    """Get the version of seq2squiggle-tpu and its core dependencies
+    (reference: seq2squiggle.py:629-636 prints its torch/lightning/pod5
+    versions; the TPU-native equivalents are listed here)."""
     setup_logging("info")
     import jax
 
     logger.info(f"seq2squiggle-tpu: {__version__}")
     logger.info(f"jax: {jax.__version__}")
+    for dep in ("jaxlib", "numpy", "optax", "pyarrow", "zstandard"):
+        try:
+            import importlib.metadata as _md
+
+            logger.info(f"{dep}: {_md.version(dep)}")
+        except Exception:
+            logger.info(f"{dep}: not installed")
     logger.info(f"devices: {[str(d) for d in jax.devices()]}")
 
 

@@ -492,16 +492,45 @@ def simulate_run(
     fetch_thread.start()
     decode_thread.start()
 
+    # H2D producer thread: batch prep (read sampling, windowed base codes)
+    # and the host->device transfers run ahead of the dispatch loop on a
+    # bounded queue, so neither sits on the critical path between device
+    # dispatches. device_put is thread-safe and async; the queue depth
+    # caps in-flight device input memory (~50 KB/batch of windowed codes).
+    h2d_queue: "queue.Queue" = queue.Queue(maxsize=3)
+    h2d_err: list = []
+
+    def _h2d_producer():
+        try:
+            for batch in iter_batches(
+                reads, predict_batch_size, config["seq_kmer"],
+                config["max_dna_len"],
+                read_idx_start=read_idx_start, read_idx_step=read_idx_step,
+            ):
+                h2d_queue.put((
+                    batch,
+                    jax.device_put(batch.codes, device),
+                    jax.device_put(batch.read_idx, device),
+                    jax.device_put(batch.chunk_off, device),
+                    jax.device_put(batch.n_kmers, device),
+                ))
+        except BaseException as exc:  # re-raised on the main thread
+            h2d_err.append(exc)
+        finally:
+            h2d_queue.put(None)
+
+    h2d_thread = threading.Thread(
+        target=_h2d_producer, name="seq2squiggle-h2d", daemon=True
+    )
+    h2d_thread.start()
+
     first_batch = True
     t_loop0 = time.perf_counter()
-    for batch in iter_batches(
-        reads, predict_batch_size, config["seq_kmer"], config["max_dna_len"],
-        read_idx_start=read_idx_start, read_idx_step=read_idx_step,
-    ):
-        codes_dev = jax.device_put(batch.codes, device)
-        ridx_dev = jax.device_put(batch.read_idx, device)
-        coff_dev = jax.device_put(batch.chunk_off, device)
-        nk_dev = jax.device_put(batch.n_kmers, device)
+    while True:
+        item = h2d_queue.get()
+        if item is None:
+            break
+        batch, codes_dev, ridx_dev, coff_dev, nk_dev = item
         fn, knobs_now = state["active"]
         if first_batch and config.get("use_pallas", "auto") == "auto":
             # Fused-kernel support varies by backend; fall back to the pure
@@ -531,8 +560,11 @@ def simulate_run(
             raise drain_err[0]
         drain_queue.put((outs, batch, knobs_now.wire_bits))
     if timing:
-        # host-side batch prep + dispatch = loop time not spent draining
+        # dispatch-loop duration (batch prep + H2D run on their own thread)
         timers["dispatch"] = time.perf_counter() - t_loop0
+    h2d_thread.join()
+    if h2d_err:
+        raise h2d_err[0]
     drain_queue.put(None)
     fetch_thread.join()
     decode_thread.join()

@@ -16,9 +16,11 @@ invariant to batch size and sharding.
 Tier 4 ships per-event digitised levels + 4-bit within-event count
 deltas (runtime/predict._pack_event_wire); the clean signal is quantised
 to integer counts BEFORE noise, so samples sit within 1 ADC count of the
-raw tier. Tier 2 ("ulp", the default under bfloat16 compute) ships raw
-bf16 BITS at event starts + 2-bit ULP deltas with batch-flat escape
-buffers (runtime/predict._pack_event_wire_ulp); the decoder's exact bf16
+raw tier. Tier 2 ("ulp", the default under bfloat16 compute) ships the
+bf16 BITS at event starts (as a u16 anchor + i8 ordinal deltas) + 2-bit
+ULP deltas with batch-flat escape buffers whose per-row offsets the
+decoder derives itself (runtime/predict._pack_event_wire_ulp, 127 B/row);
+the decoder's exact bf16
 output is rebuilt and the device's own f32 digitisation chain replayed,
 so noise-free and static-noise runs are BIT-IDENTICAL to the raw tier
 and sampled-noise runs stay within the 1-count sigma quantisation.
