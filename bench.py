@@ -116,6 +116,77 @@ def measure_cpu_denominator():
         return None
 
 
+def measure_device_compute(cfg, n_iters=32):
+    """Steady-state ON-CHIP time of the jitted predict program, via the
+    SLOPE method: wall(1 dispatch + 1-byte probe fetch) vs wall(n_iters
+    dispatches + probe); per-batch = (t_n - t_1)/(n_iters - 1). The probe
+    fetch is the only reliable sync on the tunneled backend
+    (jax.block_until_ready is a no-op there and under-measures ~500x), and
+    differencing cancels the fetch round trip. Reported as detail.device_*:
+    what the device itself sustains, independent of the tunnel's D2H
+    bandwidth and its ~2x fluctuation."""
+    import jax
+
+    from seq2squiggle_tpu.io.reads import get_reads
+    from seq2squiggle_tpu.profiles import get_profile, update_config_for_profile
+    from seq2squiggle_tpu.runtime.batcher import iter_batches
+    from seq2squiggle_tpu.runtime.predict import PredictKnobs, make_predict_fn
+    from seq2squiggle_tpu.runtime.simulate import resolve_weights
+
+    profile = "dna-r10-prom"
+    pd = get_profile(profile)
+    config = update_config_for_profile(profile, cfg)
+    params, _ = resolve_weights(_weights(), config, 42, profile)
+    knobs = PredictKnobs(
+        dwell_mean=pd["sample_rate"] / pd["bps"],
+        scaling_max_value=float(config["scaling_max_value"]),
+        digitisation=float(pd["digitisation"]),
+        signal_range=float(pd["range"]),
+        offset_mean=float(pd["offset_mean"]),
+        wire_bits=2,  # the ULP tier the measured runs settle on
+    )
+    fn = make_predict_fn(config, knobs, framed=True)
+    reads, _ = get_reads(
+        "/root/reference/example/lamda_genome.fasta", False, 64, 1000, -1,
+        config, "expon", 42, profile, 30,
+    )
+    batch = next(
+        iter_batches(reads, BATCH, config["seq_kmer"], config["max_dna_len"])
+    )
+    import numpy as np
+
+    dev = jax.devices()[0]
+    args = (
+        jax.device_put(params, dev),
+        jax.device_put(batch.codes, dev),
+        jax.device_put(batch.read_idx, dev),
+        jax.device_put(batch.chunk_off, dev),
+        jax.random.key(42),
+        jax.device_put(batch.n_kmers, dev),
+    )
+    probe = jax.jit(lambda o: o[0, 0])
+    np.asarray(probe(fn(*args)))  # compile + first-run
+
+    def walled(m):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(m):
+            out = fn(*args)
+        np.asarray(probe(out))  # 1-byte fetch: the real sync point
+        return time.perf_counter() - t0
+
+    slopes = []
+    for _ in range(3):
+        t1 = walled(1)
+        tn = walled(n_iters)
+        slopes.append((tn - t1) / (n_iters - 1))
+    per_batch = statistics.median(slopes)
+    return {
+        "device_batch_ms": round(per_batch * 1e3, 2),
+        "device_kchunks_per_s": round(BATCH / per_batch / 1e3, 1),
+    }
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "cpu":
         return cpu_denominator_main()
@@ -159,6 +230,18 @@ def main():
         if cpu:
             detail["cpu_ksamples_per_s"] = cpu["cpu_ksamples_per_s"]
             detail["vs_cpu"] = round(ks / cpu["cpu_ksamples_per_s"], 1)
+    if not os.environ.get("BENCH_SKIP_DEVICE"):
+        try:
+            dev = measure_device_compute(cfg)
+            detail.update(dev)
+            # Same per-chunk sample yield as the measured run: what the
+            # compute path alone would sustain with a non-tunneled host.
+            detail["device_ksamples_per_s"] = round(
+                dev["device_kchunks_per_s"] * 1e3
+                * med_stats["samples"] / med_stats["chunks"] / 1e3, 1,
+            )
+        except Exception:  # the probe must never sink the headline bench
+            pass
 
     result = {
         "metric": "ksamples_per_s_per_chip",
