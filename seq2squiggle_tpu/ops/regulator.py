@@ -40,6 +40,67 @@ def alignment_matrix(durations: jnp.ndarray, max_signal_len: int) -> jnp.ndarray
     return (below & ~prev).astype(jnp.float32)
 
 
+def segment_map(
+    durations: jnp.ndarray, max_signal_len: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-frame segment bookkeeping shared by the regulator and the event
+    wire packers (computing it once per predict step saves two redundant
+    (B, K, T) reduction passes per batch).
+
+    durations: (B, K) integer dwell counts.
+    Returns (ends, starts_ext, seg, is_start):
+      ends       (B, K)   int32 cumulative event boundaries, capped at T
+      starts_ext (B, K+1) int32 start frame of each segment (+1 tail entry)
+      seg        (B, T)   int32 segment id per frame in [0, K] (K = tail)
+      is_start   (B, T)   bool, True on each segment's first frame
+    """
+    B, K = durations.shape
+    ends = jnp.minimum(
+        jnp.cumsum(durations.astype(jnp.int32), axis=1), max_signal_len
+    )
+    t = jnp.arange(max_signal_len, dtype=jnp.int32)[None, :]
+    # seg(t) = #boundaries <= t: the index of the segment frame t falls in.
+    seg = jnp.sum(t[:, None, :] >= ends[:, :, None], axis=1).astype(jnp.int32)
+    starts_ext = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
+    )
+    start_frame = jnp.take_along_axis(starts_ext, seg, axis=1)
+    is_start = t == start_frame
+    return ends, starts_ext, seg, is_start
+
+
+def regulate_from_seg(
+    x: jnp.ndarray,
+    seg: jnp.ndarray,
+    x_noise: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """length_regulate given a precomputed segment map (see segment_map).
+
+    Frames in the tail segment (seg == K) expand to zeros — the alignment
+    one-hot `seg == j` is exactly the below/&~prev matrix length_regulate
+    builds, so the einsum results are bit-identical.
+    """
+    K = x.shape[1]
+    M = seg[:, :, None] == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    out = jnp.einsum(
+        "btk,bkd->btd",
+        M.astype(x.dtype),
+        x,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    ).astype(x.dtype)
+    out_noise = None
+    if x_noise is not None:
+        out_noise = jnp.einsum(
+            "btk,bkd->btd",
+            M.astype(jnp.float32),
+            x_noise.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(jnp.float32),
+        )
+    return out, out_noise
+
+
 def length_regulate(
     x: jnp.ndarray,
     durations: jnp.ndarray,

@@ -35,7 +35,7 @@ from ..models.fft_model import (
     encoder_forward,
     noise_head,
 )
-from ..ops.regulator import length_regulate
+from ..ops.regulator import regulate_from_seg, segment_map
 from ..sampling import per_chunk_keys, sample_gamma_durations, sample_normal
 
 
@@ -191,8 +191,10 @@ def predict_step(
     dur_keys = jax.vmap(lambda c: jax.random.fold_in(c, 1))(chunk_keys)
     durations = _compute_durations(params, emb32, dur_keys, knobs, config)
 
-    expanded, noise_ext, _ = length_regulate(
-        enc_out, durations, T, x_noise=noise_stdev[..., None]
+    # One segment map serves the regulator AND the event wire packers.
+    seg_parts = segment_map(durations, T)
+    expanded, noise_ext = regulate_from_seg(
+        enc_out, seg_parts[2], x_noise=noise_stdev[..., None]
     )
 
     dec = decoder_forward(params, expanded, config)[..., 0]  # (B, T)
@@ -204,7 +206,7 @@ def predict_step(
         # the raw bf16 BITS of each event's first frame plus 2-bit ULP
         # deltas; the host reconstructs the clean signal bit-exactly and
         # regenerates the noise (see _pack_event_wire_ulp).
-        return _pack_event_wire_ulp(dec, durations, noise_stdev, read_idx,
+        return _pack_event_wire_ulp(dec, seg_parts, noise_stdev, read_idx,
                                     knobs)
     if knobs.wire_bits == 4:
         # Event tier: ship the CLEAN signal's sufficient statistics (4-bit
@@ -212,7 +214,7 @@ def predict_step(
         # host regenerates the Gaussian amplitude noise from the same
         # per-chunk threefry keys. The noise is the incompressible part of
         # the sample stream - not shipping it at all beats any delta width.
-        return _pack_event_wire(pred, durations, noise_stdev, read_idx, knobs)
+        return _pack_event_wire(pred, seg_parts, noise_stdev, read_idx, knobs)
 
     if knobs.noise_std > 0:
         non_zero = pred != 0.0
@@ -256,7 +258,7 @@ def predict_step(
 
 def _pack_event_wire(
     pred: jnp.ndarray,  # (B, T) f32 CLEAN signal in pA (no noise)
-    durations: jnp.ndarray,  # (B, K) int32 dwell counts
+    seg_parts: tuple,  # (ends, starts_ext, seg, is_start) from segment_map
     noise_stdev: jnp.ndarray,  # (B, K) f32 per-k-mer stdev (model units)
     read_idx: jnp.ndarray,  # (B,) int32, -1 = padding row
     knobs: PredictKnobs,
@@ -288,7 +290,8 @@ def _pack_event_wire(
     ever shipping a lossy batch.
     """
     B, T = pred.shape
-    K = durations.shape[1]
+    ends, starts_ext, seg, is_start = seg_parts
+    K = ends.shape[1]
     assert T % 2 == 0 and T <= 255, "event tier needs even T < 256"
     cpr = knobs.digitisation / knobs.signal_range  # ADC counts per pA
     E = WIRE_EXC_SLOTS[4]
@@ -303,16 +306,7 @@ def _pack_event_wire(
     ).astype(jnp.int32)
     clean_q = jnp.where(read_idx[:, None] >= 0, clean_q, 0)
 
-    ends = jnp.minimum(jnp.cumsum(durations, axis=1), T)  # (B, K) int32
-    starts_ext = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
-    )  # (B, K+1): start of segment e
     t = jnp.arange(T, dtype=jnp.int32)[None, :]  # (1, T)
-    # segment id per frame: e(t) = #boundaries <= t, in [0, K] (K = tail)
-    seg = jnp.sum(t[:, None, :] >= ends[:, :, None], axis=1).astype(jnp.int32)
-    start_frame = jnp.take_along_axis(starts_ext, seg, axis=1)  # (B, T)
-    is_start = t == start_frame
-
     levels = jnp.take_along_axis(
         clean_q, jnp.minimum(starts_ext, T - 1), axis=1
     )  # (B, K+1)
@@ -354,7 +348,7 @@ def _pack_event_wire(
 
 def _pack_event_wire_ulp(
     dec: jnp.ndarray,  # (B, T) bfloat16 CLEAN decoder output (pre-scaling)
-    durations: jnp.ndarray,  # (B, K) int32 dwell counts
+    seg_parts: tuple,  # (ends, starts_ext, seg, is_start) from segment_map
     noise_stdev: jnp.ndarray,  # (B, K) f32 per-k-mer stdev (model units)
     read_idx: jnp.ndarray,  # (B,) int32, -1 = padding row
     knobs: PredictKnobs,
@@ -419,7 +413,8 @@ def _pack_event_wire_ulp(
     sitting exactly at the 0-clamp boundary — see _pack_event_wire).
     """
     B, T = dec.shape
-    K = durations.shape[1]
+    ends, starts_ext, seg, is_start = seg_parts
+    K = ends.shape[1]
     assert T <= 255, "ULP event tier needs ends to fit uint8 (T < 256)"
     assert B >= 4, "ULP event tier needs B >= 4 (one i32 wide slot)"
     assert dec.dtype == jnp.bfloat16, "ULP event tier needs bfloat16 compute"
@@ -433,15 +428,6 @@ def _pack_event_wire_ulp(
     # raw bf16 bit pattern itself orders values; 1 ULP = 1 ordinal step.
     ord_ = jax.lax.bitcast_convert_type(dec, jnp.uint16).astype(jnp.int32)
     ord_ = jnp.where(read_idx[:, None] >= 0, ord_, 0)
-
-    ends = jnp.minimum(jnp.cumsum(durations, axis=1), T)  # (B, K) int32
-    starts_ext = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
-    )  # (B, K+1)
-    t = jnp.arange(T, dtype=jnp.int32)[None, :]  # (1, T)
-    seg = jnp.sum(t[:, None, :] >= ends[:, :, None], axis=1).astype(jnp.int32)
-    start_frame = jnp.take_along_axis(starts_ext, seg, axis=1)  # (B, T)
-    is_start = t == start_frame
 
     levels32 = jnp.take_along_axis(
         ord_, jnp.minimum(starts_ext, T - 1), axis=1
