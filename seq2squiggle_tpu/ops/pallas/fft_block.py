@@ -83,6 +83,20 @@ def _block_kernel(
     k = proj(wk, bk)
     v = proj(wv, bv)
 
+    # Softmax is restructured to minimise VPU passes over the (TB, L, L)
+    # score tensor — the decoder's measured hot spot (L=250: each
+    # elementwise pass costs ~1 ms/block at B=2048 while every matmul is
+    # MXU-cheap). Un-tempered scores come straight off the MXU; ONE fused
+    # elementwise pass applies (s - max)·inv_temp and exp and casts to
+    # bf16; the row-sum rides the MXU as a dot against a ones vector; the
+    # softmax divide happens after the ctx matmul on (TB, L, d_k) — 31x
+    # fewer elements than dividing the (TB, L, L) probabilities.
+    # Numerics: same max-subtracted exp, denominators accumulate the
+    # compute-dtype exps in f32 (MXU) instead of f32 exps. In float32 mode
+    # this matches the XLA path to rtol=2e-3 (tests/test_pallas.py); in
+    # bfloat16 mode the reordered accumulation lands within a few bf16
+    # ULPs of it (pinned by test_fused_block_bf16_ulp_agreement).
+    ones_v = jnp.ones((TB, L, 1), compute_dtype)
     ctx_heads = []
     for h in range(n_head):
         sl = slice(h * d_k, (h + 1) * d_k)
@@ -92,12 +106,18 @@ def _block_kernel(
         scores = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * inv_temp  # (TB, L, L) f32
-        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-        ctx_h = jax.lax.dot_general(
-            probs, vh, (((2,), (1,)), ((0,), (0,))),
+        )  # (TB, L, L) f32, un-tempered
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp((scores - m) * inv_temp).astype(compute_dtype)
+        num = jax.lax.dot_general(
+            e, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(compute_dtype)
+        )  # (TB, L, d_k) f32 unnormalised context
+        den = jax.lax.dot_general(
+            e, ones_v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, L, 1) f32 softmax denominator
+        ctx_h = (num / den).astype(compute_dtype)
         ctx_heads.append(ctx_h.reshape(TB * L, d_k))
     ctx = jnp.concatenate(ctx_heads, axis=-1)  # (TB*L, D)
 

@@ -35,6 +35,30 @@ def test_fused_block_matches_xla(setup, L, tile_b, B):
     )
 
 
+def test_fused_block_bf16_ulp_agreement(setup):
+    """Production dtype: the fused kernel tracks XLA within a few bf16 ULPs.
+
+    The kernel reorders the softmax (post-context divide, denominator
+    summed from compute-dtype exps on the MXU), so bf16 outputs are not
+    bit-identical to the XLA path — but must stay within ULP-scale noise
+    of it (1 bf16 ULP is 2^-8 relative ~ 0.39%).
+    """
+    cfg, params = setup
+    block = params["encoder"]["blocks"][0]
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((8, 250, 64)).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+
+    ref = np.asarray(fft_block(block, xb, n_head=8)).astype(np.float32)
+    fused = np.asarray(
+        fused_fft_block(xb, block, n_head=8, interpret=True, tile_b=4)
+    ).astype(np.float32)
+    # <= 4 bf16 ULPs relative to the largest activation in the tensor
+    # (values are LayerNorm outputs, so the scale is O(1) everywhere).
+    tol = 4 * 2.0 ** -8 * max(1.0, float(np.max(np.abs(ref))))
+    assert float(np.max(np.abs(fused - ref))) <= tol
+
+
 def test_fused_block_pads_ragged_batch(setup):
     cfg, params = setup
     block = params["encoder"]["blocks"][0]
