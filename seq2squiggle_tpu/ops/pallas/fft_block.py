@@ -56,46 +56,23 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
-def _block_kernel(
-    x_ref,
-    wq, bq, wk, bk, wv, bv, wf, bf, ln1s, ln1b,
-    w1, b1, w2, b2, ln2s, ln2b,
-    out_ref,
-    *,
-    n_head: int,
-    compute_dtype,
-):
-    TB, L, D = x_ref.shape
-    d_k = D // n_head
-    inv_temp = 1.0 / (d_k ** 0.5)
+def _attn_headloop(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
+    """Per-head attention: static python loop, exact row-max softmax.
 
-    x = x_ref[:].astype(compute_dtype)
-    x2 = x.reshape(TB * L, D)
-
-    def proj(w_ref, b_ref):
-        y = jnp.dot(x2, w_ref[:].astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-        return (y + b_ref[:].astype(jnp.float32)).astype(compute_dtype)
-
-    # Keep tensors <= 3D and reshape only on the leading (sublane) dim —
-    # Mosaic does not lower minor-dim shape casts like (TB*L,D)->(TB,L,H,dk).
-    q = proj(wq, bq)  # (TB*L, D)
-    k = proj(wk, bk)
-    v = proj(wv, bv)
-
-    # Softmax is restructured to minimise VPU passes over the (TB, L, L)
-    # score tensor — the decoder's measured hot spot (L=250: each
-    # elementwise pass costs ~1 ms/block at B=2048 while every matmul is
-    # MXU-cheap). Un-tempered scores come straight off the MXU; ONE fused
-    # elementwise pass applies (s - max)·inv_temp and exp and casts to
-    # bf16; the row-sum rides the MXU as a dot against a ones vector; the
-    # softmax divide happens after the ctx matmul on (TB, L, d_k) — 31x
-    # fewer elements than dividing the (TB, L, L) probabilities.
-    # Numerics: same max-subtracted exp, denominators accumulate the
-    # compute-dtype exps in f32 (MXU) instead of f32 exps. In float32 mode
-    # this matches the XLA path to rtol=2e-3 (tests/test_pallas.py); in
-    # bfloat16 mode the reordered accumulation lands within a few bf16
-    # ULPs of it (pinned by test_fused_block_bf16_ulp_agreement).
+    Softmax is restructured to minimise VPU passes over the (TB, L, L)
+    score tensor — the decoder's measured hot spot (L=250: each
+    elementwise pass costs ~1 ms/block at B=2048 while every matmul is
+    MXU-cheap). Un-tempered scores come straight off the MXU; ONE fused
+    elementwise pass applies (s - max)·inv_temp and exp and casts to
+    bf16; the row-sum rides the MXU as a dot against a ones vector; the
+    softmax divide happens after the ctx matmul on (TB, L, d_k) — 31x
+    fewer elements than dividing the (TB, L, L) probabilities.
+    Numerics: same max-subtracted exp, denominators accumulate the
+    compute-dtype exps in f32 (MXU) instead of f32 exps. In float32 mode
+    this matches the XLA path to rtol=2e-3 (tests/test_pallas.py); in
+    bfloat16 mode the reordered accumulation lands within a few bf16
+    ULPs of it (pinned by test_fused_block_bf16_ulp_agreement).
+    """
     ones_v = jnp.ones((TB, L, 1), compute_dtype)
     ctx_heads = []
     for h in range(n_head):
@@ -119,7 +96,122 @@ def _block_kernel(
         )  # (TB, L, 1) f32 softmax denominator
         ctx_h = (num / den).astype(compute_dtype)
         ctx_heads.append(ctx_h.reshape(TB * L, d_k))
-    ctx = jnp.concatenate(ctx_heads, axis=-1)  # (TB*L, D)
+    return jnp.concatenate(ctx_heads, axis=-1)  # (TB*L, D)
+
+
+def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
+    """Head-PACKED attention: all heads ride one matmul per stage.
+
+    The per-head loop's matmuls contract (scores) or output (ctx) only
+    d_k=8 of the MXU's 128 lanes — ~6% utilization on the measured
+    decoder hot spot. Packing every head into one matmul per stage runs
+    n_head× the FLOPs but at full-lane contraction/output, and replaces
+    the exact row-max VPU pass (the single most expensive elementwise
+    stage at L=250) with a per-head Cauchy–Schwarz bound computed by two
+    tiny MXU dots:
+
+      qhat (TB, HL, D): q tiled H× down the sublane dim, row block h
+          masked to keep only head h's channels;
+      S    (TB, HL, L) = qhat @ k³ᵀ   — head h's scores land in rows
+          [hL, (h+1)L) because the masked qhat zeroes cross-head terms;
+      e    = exp(S·inv_temp − shift)  — shift_th = ‖q_t‖·max_s‖k_s‖
+          per head, a true upper bound on the tempered score, so every
+          exp ≤ 1 (softmax is shift-invariant; precision is preserved
+          because exp(x−bound) keeps full relative accuracy);
+      num  (TB, HL, D) = e @ v³ ;  den (TB, HL, 1) = e @ 1
+      collapse: H static sublane slices + head-channel masks re-fold
+          (TB, HL, ·) to (TB, L, D) — no 4D tensors, no minor-dim
+          reshapes (Mosaic-safe).
+
+    Numerics: same max(ish)-shifted exp/divide-after-ctx structure as
+    the head loop; agreement pinned by tests/test_pallas.py (f32 ≤1e-7,
+    bf16 within ULP noise of the loop).
+    """
+    D = d_k * n_head
+    q3 = q.reshape(TB, L, D)
+    k3 = k.reshape(TB, L, D)
+    v3 = v.reshape(TB, L, D)
+
+    # head-channel mask (D, n_head): column h selects head h's channels
+    ch = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0) // d_k
+    hh = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
+    hmask_f = (ch == hh).astype(jnp.float32)            # (D, H)
+
+    # qhat: tile q down the sublane dim, zero other heads' channels
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, D), 0) // L
+    colh = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, D), 1) // d_k
+    qmask = (rowh == colh).astype(compute_dtype)        # (HL, D)
+    qhat = jnp.concatenate([q3] * n_head, axis=1) * qmask  # (TB, HL, D)
+
+    # Cauchy–Schwarz shift: per-head ‖q_t‖ · max_s ‖k_s‖, pre-tempered
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn2 = jnp.dot(qf * qf, hmask_f,
+                  preferred_element_type=jnp.float32)   # (TB*L, H)
+    kn2 = jnp.dot(kf * kf, hmask_f,
+                  preferred_element_type=jnp.float32)   # (TB*L, H)
+    kn2m = jnp.max(kn2.reshape(TB, L, n_head), axis=1, keepdims=True)
+    qn = jnp.sqrt(qn2).reshape(TB, L, n_head)
+    kn = jnp.sqrt(kn2m)                                 # (TB, 1, H)
+    shift = jnp.concatenate(
+        [qn[:, :, h:h + 1] * kn[:, :, h:h + 1] for h in range(n_head)],
+        axis=1) * inv_temp                              # (TB, HL, 1)
+
+    scores = jax.lax.dot_general(
+        qhat, k3, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TB, HL, L) f32, un-tempered
+    e = jnp.exp(scores * inv_temp - shift).astype(compute_dtype)
+    num = jax.lax.dot_general(
+        e, v3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TB, HL, D)
+    ones_v = jnp.ones((TB, L, 1), compute_dtype)
+    den = jax.lax.dot_general(
+        e, ones_v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TB, HL, 1)
+
+    num_c = jnp.zeros((TB, L, D), jnp.float32)
+    den_c = jnp.zeros((TB, L, D), jnp.float32)
+    for h in range(n_head):
+        hm = hmask_f[:, h].reshape(1, 1, D)
+        num_c = num_c + num[:, h * L:(h + 1) * L, :] * hm
+        den_c = den_c + den[:, h * L:(h + 1) * L, :] * hm
+    ctx = (num_c / den_c).astype(compute_dtype)
+    return ctx.reshape(TB * L, D)
+
+
+def _block_kernel(
+    x_ref,
+    wq, bq, wk, bk, wv, bv, wf, bf, ln1s, ln1b,
+    w1, b1, w2, b2, ln2s, ln2b,
+    out_ref,
+    *,
+    n_head: int,
+    compute_dtype,
+    packed: bool,
+):
+    TB, L, D = x_ref.shape
+    d_k = D // n_head
+    inv_temp = 1.0 / (d_k ** 0.5)
+
+    x = x_ref[:].astype(compute_dtype)
+    x2 = x.reshape(TB * L, D)
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x2, w_ref[:].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(compute_dtype)
+
+    # Keep tensors <= 3D and reshape only on the leading (sublane) dim —
+    # Mosaic does not lower minor-dim shape casts like (TB*L,D)->(TB,L,H,dk).
+    q = proj(wq, bq)  # (TB*L, D)
+    k = proj(wk, bk)
+    v = proj(wv, bv)
+
+    attn = _attn_packed if packed else _attn_headloop
+    ctx = attn(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype)
 
     o = jnp.dot(ctx, wf[:].astype(compute_dtype),
                 preferred_element_type=jnp.float32)
@@ -137,16 +229,30 @@ def _block_kernel(
     out_ref[:] = out.reshape(TB, L, D)
 
 
-def _tile_b(L: int) -> int:
-    # Sized against the 16 MB VMEM scoped-allocation limit. Mosaic stack-
-    # allocates the unrolled per-head score/prob buffers rather than reusing
-    # one, so the decoder tile (L=250) must keep 8 heads' (TB, L, L) f32
-    # scores simultaneously: TB=4 -> 8 MB + FFN/LN temporaries.
-    return 64 if L <= 32 else 4
+def _packed_default(L: int) -> bool:
+    # Head-packing pays off when the (L, L) score stage dominates and the
+    # per-head matmuls waste MXU lanes — the decoder's L=250. The encoder's
+    # L=16 scores are trivial and the head loop is already fast there.
+    # OFF by default until the variant is timed on hardware (the per-head
+    # loop is the measured 17.6 ms/block baseline; flip to `L > 32` once
+    # scripts/profiling/profile_e.py shows the packed win on a real chip).
+    return False
+
+
+def _tile_b(L: int, packed: bool) -> int:
+    # Sized against the 16 MB VMEM scoped-allocation limit. Head loop:
+    # Mosaic stack-allocates the unrolled per-head score/prob buffers
+    # rather than reusing one, so the decoder tile (L=250) must keep 8
+    # heads' (TB, L, L) f32 scores simultaneously: TB=4 -> 8 MB + FFN/LN
+    # temporaries. Packed: one (TB, 8L, L) f32 score + bf16 exp buffer
+    # (TB=2 -> 10 MB + (TB, 8L, D) num).
+    if L <= 32:
+        return 64
+    return 2 if packed else 4
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "interpret", "tile_b")
+    jax.jit, static_argnames=("n_head", "interpret", "tile_b", "packed")
 )
 def fused_fft_block(
     x: jnp.ndarray,
@@ -154,13 +260,18 @@ def fused_fft_block(
     n_head: int,
     interpret: bool = False,
     tile_b: int = 0,
+    packed: bool | None = None,
 ) -> jnp.ndarray:
     """Apply one post-LN attention+FFN block via the fused kernel.
 
     x: (B, L, D); B is padded to a multiple of the batch tile internally.
+    packed=None auto-selects the attention variant by L (head-packed for
+    the decoder's L=250, per-head loop for the encoder's L=16).
     """
     B, L, D = x.shape
-    TB = tile_b or _tile_b(L)
+    if packed is None:
+        packed = _packed_default(L)
+    TB = tile_b or _tile_b(L, packed)
     pad = (-B) % TB
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, L, D), x.dtype)], axis=0)
@@ -168,7 +279,7 @@ def fused_fft_block(
 
     weights = [_get(block_params, path) for path in _WEIGHT_FIELDS]
     kernel = functools.partial(
-        _block_kernel, n_head=n_head, compute_dtype=x.dtype
+        _block_kernel, n_head=n_head, compute_dtype=x.dtype, packed=packed
     )
 
     grid = (Bp // TB,)

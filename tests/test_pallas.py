@@ -19,8 +19,11 @@ def setup():
     return cfg, params
 
 
-@pytest.mark.parametrize("L,tile_b,B", [(16, 8, 24), (250, 4, 8)])
-def test_fused_block_matches_xla(setup, L, tile_b, B):
+@pytest.mark.parametrize(
+    "L,tile_b,B,packed",
+    [(16, 8, 24, False), (250, 4, 8, False), (250, 2, 8, True)],
+)
+def test_fused_block_matches_xla(setup, L, tile_b, B, packed):
     cfg, params = setup
     block = params["encoder"]["blocks"][0]
     rng = np.random.default_rng(0)
@@ -28,14 +31,16 @@ def test_fused_block_matches_xla(setup, L, tile_b, B):
 
     ref = fft_block(block, jnp.asarray(x), n_head=8)
     fused = fused_fft_block(
-        jnp.asarray(x), block, n_head=8, interpret=True, tile_b=tile_b
+        jnp.asarray(x), block, n_head=8, interpret=True, tile_b=tile_b,
+        packed=packed,
     )
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=2e-3, atol=2e-4
     )
 
 
-def test_fused_block_bf16_ulp_agreement(setup):
+@pytest.mark.parametrize("packed", [False, True])
+def test_fused_block_bf16_ulp_agreement(setup, packed):
     """Production dtype: the fused kernel tracks XLA within a few bf16 ULPs.
 
     The kernel reorders the softmax (post-context divide, denominator
@@ -51,7 +56,8 @@ def test_fused_block_bf16_ulp_agreement(setup):
 
     ref = np.asarray(fft_block(block, xb, n_head=8)).astype(np.float32)
     fused = np.asarray(
-        fused_fft_block(xb, block, n_head=8, interpret=True, tile_b=4)
+        fused_fft_block(xb, block, n_head=8, interpret=True, tile_b=4,
+                        packed=packed)
     ).astype(np.float32)
     # <= 4 bf16 ULPs relative to the largest activation in the tensor
     # (values are LayerNorm outputs, so the scale is O(1) everywhere).
