@@ -57,6 +57,9 @@ DEFAULT_CONFIG: dict = {
     # TPU-build extensions (not present in the reference; safe extra keys)
     "compute_dtype": "bfloat16",  # bfloat16 | float32 — inner-loop matmul dtype
     "use_pallas": "auto",  # auto | true | false — fused TPU attention blocks
+    "pallas_packed": "auto",  # auto | true | false — head-packed attention
+    # inside the fused blocks (auto = by sequence length; see
+    # ops/pallas/fft_block._packed_default)
     "random_seed": 42,  # used for file-level train/valid splits
     "tensor_parallel": 1,  # 'tp' mesh degree for training (CLI: train --tp)
 }
@@ -110,6 +113,7 @@ def check_model_config(model_config: dict, config: dict) -> None:
         # TPU-build-only keys that never affect weight shapes:
         "compute_dtype",
         "use_pallas",
+        "pallas_packed",
         "random_seed",
         "tensor_parallel",
     }

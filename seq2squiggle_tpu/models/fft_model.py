@@ -46,6 +46,15 @@ def _use_pallas_blocks(config: dict, x, mask, dropout_rng) -> bool:
     return False
 
 
+def _packed_mode(config: dict):
+    """config 'pallas_packed' -> fused_fft_block's packed arg (None = auto
+    by sequence length; see ops/pallas/fft_block._packed_default)."""
+    mode = config.get("pallas_packed", "auto")
+    if mode == "auto":
+        return None
+    return bool(mode)
+
+
 # ---------------------------------------------------------------------------
 # Initialisation
 # ---------------------------------------------------------------------------
@@ -167,8 +176,10 @@ def encoder_forward(
     if _use_pallas_blocks(config, h, mask, dropout_rng):
         from ..ops.pallas.fft_block import fused_fft_block
 
+        packed = _packed_mode(config)
         for block in enc["blocks"]:
-            h = fused_fft_block(h, block, config["encoder_heads"])
+            h = fused_fft_block(h, block, config["encoder_heads"],
+                                packed=packed)
         return h, emb_out
     rate = config["encoder_dropout"] if dropout_rng is not None else 0.0
     for i, block in enumerate(enc["blocks"]):
@@ -193,8 +204,10 @@ def decoder_forward(
     if _use_pallas_blocks(config, h, mask, dropout_rng):
         from ..ops.pallas.fft_block import fused_fft_block
 
+        packed = _packed_mode(config)
         for block in dec["blocks"]:
-            h = fused_fft_block(h, block, config["decoder_heads"])
+            h = fused_fft_block(h, block, config["decoder_heads"],
+                                packed=packed)
         out = linear(dec["out_linear"], h)
         return jax.nn.relu(out)
     rate = config["decoder_dropout"] if dropout_rng is not None else 0.0

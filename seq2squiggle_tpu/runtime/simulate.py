@@ -533,23 +533,45 @@ def simulate_run(
         batch, codes_dev, ridx_dev, coff_dev, nk_dev = item
         fn, knobs_now = state["active"]
         if first_batch and config.get("use_pallas", "auto") == "auto":
-            # Fused-kernel support varies by backend; fall back to the pure
-            # XLA path rather than failing the run.
+            # Fused-kernel support varies by backend; step down rather than
+            # failing the run: packed attention -> per-head-loop Pallas ->
+            # pure XLA blocks.
             try:
                 outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
                 jax.block_until_ready(outs)
             except Exception as exc:
-                logger.warning(
-                    f"Fused Pallas path unavailable on this backend "
-                    f"({type(exc).__name__}); falling back to XLA blocks."
-                )
-                config = dict(config, use_pallas=False)
-                fn = build_predict_fn(knobs_now)
-                state["active"] = (fn, knobs_now)
-                state["raw_fn"] = None
-                outs = fn(
-                    params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev
-                )
+                if config.get("pallas_packed", "auto") == "auto":
+                    logger.warning(
+                        f"Head-packed fused kernel unavailable on this "
+                        f"backend ({type(exc).__name__}); retrying with the "
+                        f"per-head-loop kernel."
+                    )
+                    config = dict(config, pallas_packed=False)
+                    fn = build_predict_fn(knobs_now)
+                    try:
+                        outs = fn(params, codes_dev, ridx_dev, coff_dev,
+                                  base_key, nk_dev)
+                        jax.block_until_ready(outs)
+                    except Exception as exc2:
+                        exc = exc2
+                        outs = None
+                    else:
+                        state["active"] = (fn, knobs_now)
+                        state["raw_fn"] = None
+                else:
+                    outs = None
+                if outs is None:
+                    logger.warning(
+                        f"Fused Pallas path unavailable on this backend "
+                        f"({type(exc).__name__}); falling back to XLA blocks."
+                    )
+                    config = dict(config, use_pallas=False)
+                    fn = build_predict_fn(knobs_now)
+                    state["active"] = (fn, knobs_now)
+                    state["raw_fn"] = None
+                    outs = fn(
+                        params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev
+                    )
             first_batch = False
         else:
             outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
