@@ -175,3 +175,35 @@ def test_e2e_whole_contig_mode(tmp_path):
     # lambda is 48,502 bp -> 48,494 k-mers -> ceil(/16) = 3031 chunks/read
     assert stats["chunks"] == 2 * 3031
     assert all(r["len_raw_signal"] > 0 for r in records)
+
+
+def test_e2e_pallas_fallback_chain(tmp_path, caplog, monkeypatch):
+    """When the fused kernels fail on a backend, the first-batch probe must
+    step down packed -> per-head-loop -> XLA and still complete the run.
+
+    On this CPU test backend the Pallas TPU kernels genuinely fail to
+    lower, so forcing the auto-gate open exercises the REAL failure path:
+    both Pallas attempts raise, the run lands on the XLA blocks, and the
+    output still round-trips."""
+    import logging
+
+    from seq2squiggle_tpu.models import fft_model
+
+    real_gate = fft_model._use_pallas_blocks
+
+    def forced_gate(config, x, mask, dropout_rng):
+        if config.get("use_pallas", "auto") == "auto":
+            return mask is None and dropout_rng is None  # pretend TPU
+        return real_gate(config, x, mask, dropout_rng)
+
+    monkeypatch.setattr(fft_model, "_use_pallas_blocks", forced_gate)
+    out = tmp_path / "out.blow5"
+    with caplog.at_level(logging.WARNING):
+        stats = _run(out)
+    assert stats["reads"] == 7
+    msgs = [r.message for r in caplog.records]
+    assert any("per-head-loop" in m for m in msgs)
+    assert any("falling back to XLA blocks" in m for m in msgs)
+    _, records = read_slow5(out)
+    assert len(records) == 7
+    assert all(r["len_raw_signal"] > 0 for r in records)
