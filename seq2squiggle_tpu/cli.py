@@ -407,7 +407,27 @@ def version():
             logger.info(f"{dep}: {_md.version(dep)}")
         except Exception:
             logger.info(f"{dep}: not installed")
-    logger.info(f"devices: {[str(d) for d in jax.devices()]}")
+    # Backend init can block indefinitely when a remote TPU runtime is
+    # unreachable (observed: the axon tunnel claim-waits ~25 min before
+    # raising). `version` must never hang, so the device listing is
+    # best-effort behind a hard wall; the daemon probe thread is abandoned
+    # on timeout.
+    import threading
+
+    listed: list = []
+
+    def _probe():
+        try:
+            listed.append([str(d) for d in jax.devices()])
+        except Exception as exc:
+            listed.append(f"unavailable ({type(exc).__name__})")
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=10.0)
+    logger.info(
+        f"devices: {listed[0] if listed else 'unavailable (backend init timed out)'}"
+    )
 
 
 if __name__ == "__main__":
