@@ -60,6 +60,8 @@ DEFAULT_CONFIG: dict = {
     "pallas_packed": "auto",  # auto | true | false — head-packed attention
     # inside the fused blocks (auto = by sequence length; see
     # ops/pallas/fft_block._packed_default)
+    "pallas_pair": "auto",  # auto | true | false — fuse both decoder FFT
+    # blocks into one pallas_call (auto = off until timed on hardware)
     "random_seed": 42,  # used for file-level train/valid splits
     "tensor_parallel": 1,  # 'tp' mesh degree for training (CLI: train --tp)
 }
@@ -114,6 +116,7 @@ def check_model_config(model_config: dict, config: dict) -> None:
         "compute_dtype",
         "use_pallas",
         "pallas_packed",
+        "pallas_pair",
         "random_seed",
         "tensor_parallel",
     }

@@ -55,6 +55,16 @@ def _packed_mode(config: dict):
     return bool(mode)
 
 
+def _pair_mode(config: dict) -> bool:
+    """config 'pallas_pair' -> fuse the decoder's two FFT blocks into one
+    pallas_call ('auto' currently means OFF, pending hardware timing —
+    the same gate discipline as pallas_packed)."""
+    mode = config.get("pallas_pair", "auto")
+    if mode == "auto":
+        return False
+    return bool(mode)
+
+
 # ---------------------------------------------------------------------------
 # Initialisation
 # ---------------------------------------------------------------------------
@@ -202,12 +212,19 @@ def decoder_forward(
     dec = params["decoder"]
     h = x + dec["pos_enc"][None, : x.shape[1]].astype(x.dtype)
     if _use_pallas_blocks(config, h, mask, dropout_rng):
-        from ..ops.pallas.fft_block import fused_fft_block
+        from ..ops.pallas.fft_block import fused_fft_block, fused_fft_block_pair
 
         packed = _packed_mode(config)
-        for block in dec["blocks"]:
-            h = fused_fft_block(h, block, config["decoder_heads"],
-                                packed=packed)
+        if _pair_mode(config) and len(dec["blocks"]) == 2:
+            # One pallas_call for the whole stack: one HBM round trip of
+            # the (B, T, D) activation instead of two (bit-equal to the
+            # sequential calls; see fused_fft_block_pair).
+            h = fused_fft_block_pair(h, dec["blocks"][0], dec["blocks"][1],
+                                     config["decoder_heads"], packed=packed)
+        else:
+            for block in dec["blocks"]:
+                h = fused_fft_block(h, block, config["decoder_heads"],
+                                    packed=packed)
         out = linear(dec["out_linear"], h)
         return jax.nn.relu(out)
     rate = config["decoder_dropout"] if dropout_rng is not None else 0.0

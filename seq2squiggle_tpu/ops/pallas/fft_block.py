@@ -178,26 +178,38 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
         hm = hmask_f[:, h].reshape(1, 1, D)
         num_c = num_c + num[:, h * L:(h + 1) * L, :] * hm
         den_c = den_c + den[:, h * L:(h + 1) * L, :] * hm
+    # The Cauchy–Schwarz bound can exceed the true row max; if it does by
+    # > ~88 nats (f32 exp underflow) every exp in the row flushes to 0 and
+    # the divide would be 0/0. Clamp the denominator so that (out-of-
+    # distribution) regime degrades to ctx=0 instead of NaN — the exact-max
+    # head loop cannot hit this, so the packed path must not either.
+    den_c = jnp.maximum(den_c, jnp.float32(1e-30))
     ctx = (num_c / den_c).astype(compute_dtype)
     return ctx.reshape(TB * L, D)
 
 
-def _block_kernel(
-    x_ref,
-    wq, bq, wk, bk, wv, bv, wf, bf, ln1s, ln1b,
-    w1, b1, w2, b2, ln2s, ln2b,
-    out_ref,
-    *,
+def _apply_block(
+    x2,
+    w,
+    TB: int,
+    L: int,
     n_head: int,
     compute_dtype,
     packed: bool,
 ):
-    TB, L, D = x_ref.shape
+    """One post-LN attention+FFN block on a VMEM-resident (TB*L, D) tile.
+
+    x2 is in compute dtype; returns the block output in FLOAT32 (the
+    final LayerNorm's natural dtype) so callers choose the cast — the
+    single-block kernel casts to the output ref dtype, the multi-block
+    kernel casts to compute dtype between blocks (bit-equal to the HBM
+    round trip it replaces, where the activation is stored in compute
+    dtype between pallas_calls)."""
+    (wq, bq, wk, bk, wv, bv, wf, bf, ln1s, ln1b,
+     w1, b1, w2, b2, ln2s, ln2b) = w
+    D = x2.shape[-1]
     d_k = D // n_head
     inv_temp = 1.0 / (d_k ** 0.5)
-
-    x = x_ref[:].astype(compute_dtype)
-    x2 = x.reshape(TB * L, D)
 
     def proj(w_ref, b_ref):
         y = jnp.dot(x2, w_ref[:].astype(compute_dtype),
@@ -225,8 +237,30 @@ def _block_kernel(
     f = jnp.dot(f, w2[:].astype(compute_dtype),
                 preferred_element_type=jnp.float32)
     f = f + b2[:].astype(jnp.float32)
-    out = _layer_norm(f + h1, ln2s[:], ln2b[:]).astype(out_ref.dtype)
-    out_ref[:] = out.reshape(TB, L, D)
+    return _layer_norm(f + h1, ln2s[:], ln2b[:])
+
+
+def _block_kernel(
+    x_ref,
+    *refs,
+    n_head: int,
+    compute_dtype,
+    packed: bool,
+    n_blocks: int = 1,
+):
+    """Run n_blocks sequential FFT blocks on one VMEM tile.
+
+    refs: n_blocks * 16 weight refs (in _WEIGHT_FIELDS order per block)
+    followed by out_ref. With n_blocks=2 the (TB, L, D) activation makes
+    ONE HBM round trip for the whole decoder stack instead of two."""
+    out_ref = refs[-1]
+    TB, L, D = x_ref.shape
+    x2 = x_ref[:].astype(compute_dtype).reshape(TB * L, D)
+    for b in range(n_blocks):
+        w = refs[b * 16:(b + 1) * 16]
+        h = _apply_block(x2, w, TB, L, n_head, compute_dtype, packed)
+        x2 = h.astype(compute_dtype)  # inter-block cast = the HBM round trip
+    out_ref[:] = h.astype(out_ref.dtype).reshape(TB, L, D)
 
 
 def _packed_default(L: int) -> bool:
@@ -251,6 +285,17 @@ def _tile_b(L: int, packed: bool) -> int:
     return 2 if packed else 4
 
 
+def _tile_b_pair(L: int, packed: bool) -> int:
+    # Two blocks unroll in one kernel and Mosaic does NOT reuse buffers
+    # across the unrolled program, so the scoped budget is ~2x a single
+    # block's: halve the batch tile vs _tile_b. Packed pair at TB=1
+    # keeps 2 x ((1, 8L, L) f32 + bf16) ~ 6 MB; head-loop pair at TB=2
+    # keeps 2 x 8 x (2, L, L) f32 = 8 MB at L=250.
+    if L <= 32:
+        return 32
+    return 1 if packed else 2
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_head", "interpret", "tile_b", "packed")
 )
@@ -265,8 +310,9 @@ def fused_fft_block(
     """Apply one post-LN attention+FFN block via the fused kernel.
 
     x: (B, L, D); B is padded to a multiple of the batch tile internally.
-    packed=None auto-selects the attention variant by L (head-packed for
-    the decoder's L=250, per-head loop for the encoder's L=16).
+    packed=None defers to _packed_default(L) — the policy switch for the
+    head-packed attention variant (see its comment for the current
+    default and the hardware-timing gate behind it).
     """
     B, L, D = x.shape
     if packed is None:
@@ -291,6 +337,69 @@ def fused_fft_block(
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, D), x.dtype),
+        interpret=interpret,
+    )(x, *weights)
+    return out[:B] if pad else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "interpret", "tile_b", "packed")
+)
+def fused_fft_block_pair(
+    x: jnp.ndarray,
+    block0: dict,
+    block1: dict,
+    n_head: int,
+    interpret: bool = False,
+    tile_b: int = 0,
+    packed: bool | None = None,
+) -> jnp.ndarray:
+    """BOTH decoder FFT blocks in ONE pallas_call.
+
+    The per-block kernel reads and writes the (B, L, D) activation from
+    HBM once per block; fusing the decoder's two blocks halves that to
+    one round trip for the stack — the remaining HBM traffic on the
+    decoder's measured hot path (reference stack: modules.py:92-142,
+    two FFTBlocks back to back). Numerics are bit-equal to two
+    sequential fused_fft_block calls: the inter-block HBM store/load in
+    compute dtype is replaced by the same cast in VMEM (pinned by
+    tests/test_pallas.py::test_fused_pair_matches_sequential).
+
+    Gated like the packed variant: production use is behind the
+    'pallas_pair' config knob, OFF until timed on hardware.
+    """
+    B, L, D = x.shape
+    if packed is None:
+        packed = _packed_default(L)
+    TB = tile_b or _tile_b_pair(L, packed)
+    pad = (-B) % TB
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, L, D), x.dtype)], axis=0)
+    Bp = B + pad
+
+    weights = [
+        _get(bp, path) for bp in (block0, block1) for path in _WEIGHT_FIELDS
+    ]
+    kernel = functools.partial(
+        _block_kernel, n_head=n_head, compute_dtype=x.dtype, packed=packed,
+        n_blocks=2,
+    )
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i, s=w.shape: (0,) * len(s),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TB,),
         in_specs=[
             pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

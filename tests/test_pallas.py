@@ -65,6 +65,78 @@ def test_fused_block_bf16_ulp_agreement(setup, packed):
     assert float(np.max(np.abs(fused - ref))) <= tol
 
 
+@pytest.mark.parametrize("dtype,packed", [
+    ("float32", False), ("bfloat16", False), ("bfloat16", True),
+])
+def test_fused_pair_matches_sequential(setup, dtype, packed):
+    """fused_fft_block_pair must be BIT-equal to two sequential
+    fused_fft_block calls: the inter-block HBM store/load in compute
+    dtype is replaced by the same cast in VMEM, so no tolerance."""
+    from seq2squiggle_tpu.ops.pallas.fft_block import fused_fft_block_pair
+
+    cfg, params = setup
+    b0 = params["encoder"]["blocks"][0]
+    b1 = params["decoder"]["blocks"][0]
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 250, 64)), dtype)
+
+    seq = fused_fft_block(
+        fused_fft_block(x, b0, n_head=8, interpret=True, tile_b=2,
+                        packed=packed),
+        b1, n_head=8, interpret=True, tile_b=2, packed=packed,
+    )
+    pair = fused_fft_block_pair(x, b0, b1, n_head=8, interpret=True,
+                                tile_b=2, packed=packed)
+    np.testing.assert_array_equal(
+        np.asarray(seq).astype(np.float32), np.asarray(pair).astype(np.float32)
+    )
+
+
+def test_fused_pair_pads_ragged_batch(setup):
+    from seq2squiggle_tpu.ops.pallas.fft_block import fused_fft_block_pair
+
+    cfg, params = setup
+    b0 = params["decoder"]["blocks"][0]
+    b1 = params["decoder"]["blocks"][1]
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 16, 64)), jnp.float32)
+    seq = fused_fft_block(fused_fft_block(x, b0, n_head=8, interpret=True,
+                                          tile_b=2),
+                          b1, n_head=8, interpret=True, tile_b=2)
+    pair = fused_fft_block_pair(x, b0, b1, n_head=8, interpret=True, tile_b=2)
+    assert pair.shape == (3, 16, 64)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(pair))
+
+
+def test_packed_underflow_degrades_to_zero_not_nan(setup):
+    """Out-of-distribution guard for the head-packed variant.
+
+    The packed softmax shifts by the per-head Cauchy–Schwarz bound
+    ||q_t||·max_s||k_s|| instead of the exact row max; when the bound
+    overshoots the true max score by > ~88 nats, every exp in the row
+    underflows to f32 zero and the context divide would be 0/0 -> NaN.
+    Crafted inputs: activations with huge norms but near-orthogonal
+    q/k projections (the block projections are near-identity-scale at
+    init, so huge x -> huge ||q||·||k|| with modest q·k). The kernel
+    must stay finite (denominator clamp), like the exact-max head loop.
+    """
+    cfg, params = setup
+    block = params["encoder"]["blocks"][0]
+    rng = np.random.default_rng(3)
+    # Alternate rows between two orthogonal directions, scaled so the
+    # per-head bound ||q||*||k||/sqrt(d_k) overshoots typical scores by
+    # far more than 88 nats.
+    d = np.zeros((2, 64), np.float32)
+    d[0, ::2] = 1.0
+    d[1, 1::2] = 1.0
+    x = (d[np.tile([0, 1], 125)] * 3e3
+         + rng.standard_normal((250, 64)) * 1e-2)
+    x = np.broadcast_to(x, (2, 250, 64)).astype(np.float32)
+    out = fused_fft_block(jnp.asarray(x), block, n_head=8, interpret=True,
+                          tile_b=2, packed=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_fused_block_pads_ragged_batch(setup):
     cfg, params = setup
     block = params["encoder"]["blocks"][0]
