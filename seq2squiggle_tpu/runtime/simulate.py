@@ -348,23 +348,33 @@ def simulate_run(
         repeated overflow -> raw-recompute churn later. A mean-usage
         threshold would be wrong: the R9 demo runs at 81% of the escape
         budget with 40+ sigma of headroom (batch-flat buffers only care
-        about the batch TOTAL)."""
+        about the batch TOTAL). Under dp>1 each shard packs its own flat
+        buffers with its own caps, so usage is judged per shard (the
+        worst shard), not whole-batch — a shard-imbalanced batch can
+        overflow one shard while the batch mean looks roomy."""
         from .predict import WIRE_ESC_NIB_PER_ROW
 
         stream, _, lvl_d, _, _, esc = arrs[:6]
         B_rows = stream.shape[0]
+        dp = len(devices) if device_dp else 1
+        B_shard = B_rows // dp
         byte_vals = np.arange(256, dtype=np.uint16)
         esc_lut = sum(
             (((byte_vals >> (2 * j)) & 3) == 3).astype(np.uint8)
             for j in range(4)
         )
+
+        def worst(mask):  # max per-dp-shard count (rows are shard-major)
+            return int(mask.reshape(dp, -1).sum(axis=1).max())
+
         usage = [
-            (int(esc_lut[stream].sum()), B_rows * WIRE_ESC_NIB_PER_ROW,
-             "escape"),
+            (worst(esc_lut[stream].astype(np.int64)),
+             B_shard * WIRE_ESC_NIB_PER_ROW, "escape"),
             # nibble 8 marks wides; unused esc slots are 0, never 8
-            (int((((esc & 0xF) == 8).sum()) + ((esc >> 4) == 8).sum()),
-             max(B_rows // 4, 1), "wide-jump"),
-            (int((lvl_d == np.int8(-127)).sum()), B_rows, "level-escape"),
+            (worst(((esc & 0xF) == 8).astype(np.int64)
+                   + ((esc >> 4) == 8)),
+             max(B_shard // 4, 1), "wide-jump"),
+            (worst(lvl_d == np.int8(-127)), B_shard, "level-escape"),
         ]
         for n, cap, name in usage:
             if n + 8.0 * np.sqrt(n) > cap:
@@ -372,7 +382,8 @@ def simulate_run(
                 if knobs_cur.wire_bits != 2:
                     return
                 logger.info(
-                    f"ULP-tier probe: batch 0 used {n}/{cap} {name} slots "
+                    f"ULP-tier probe: batch 0's worst shard used "
+                    f"{n}/{cap} {name} slots "
                     "(< 8 sigma headroom); switching to the 4-bit event "
                     "tier proactively."
                 )
@@ -534,44 +545,55 @@ def simulate_run(
         fn, knobs_now = state["active"]
         if first_batch and config.get("use_pallas", "auto") == "auto":
             # Fused-kernel support varies by backend; step down rather than
-            # failing the run: packed attention -> per-head-loop Pallas ->
-            # pure XLA blocks.
+            # failing the run: two-block pair -> packed attention ->
+            # per-head-loop Pallas -> pure XLA blocks.
+            def _attempt(f):
+                o = f(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
+                jax.block_until_ready(o)
+                return o
+
+            outs = None
             try:
-                outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
-                jax.block_until_ready(outs)
+                outs = _attempt(fn)
             except Exception as exc:
+                from ..models.fft_model import _pair_mode
+
+                # Downgrade ladder, least to most drastic. Rungs only for
+                # knobs in their 'auto' default (an explicit user setting
+                # is respected: its failure falls through to XLA).
+                ladder = []
+                if _pair_mode(config) and config.get(
+                        "pallas_pair", "auto") == "auto":
+                    ladder.append(("pallas_pair", False,
+                                   "Two-block fused kernel",
+                                   "retrying with per-block kernels"))
                 if config.get("pallas_packed", "auto") == "auto":
+                    ladder.append(("pallas_packed", False,
+                                   "Head-packed fused kernel",
+                                   "retrying with the per-head-loop kernel"))
+                ladder.append(("use_pallas", False, "Fused Pallas path",
+                               "falling back to XLA blocks"))
+                for key, val, name, action in ladder:
                     logger.warning(
-                        f"Head-packed fused kernel unavailable on this "
-                        f"backend ({type(exc).__name__}); retrying with the "
-                        f"per-head-loop kernel."
+                        f"{name} unavailable on this backend "
+                        f"({type(exc).__name__}); {action}."
                     )
-                    config = dict(config, pallas_packed=False)
+                    config = dict(config, **{key: val})
                     fn = build_predict_fn(knobs_now)
-                    try:
-                        outs = fn(params, codes_dev, ridx_dev, coff_dev,
-                                  base_key, nk_dev)
-                        jax.block_until_ready(outs)
-                    except Exception as exc2:
-                        exc = exc2
-                        outs = None
-                    else:
+                    if key == "use_pallas":
+                        # last rung: let a genuine failure propagate
                         state["active"] = (fn, knobs_now)
                         state["raw_fn"] = None
-                else:
-                    outs = None
-                if outs is None:
-                    logger.warning(
-                        f"Fused Pallas path unavailable on this backend "
-                        f"({type(exc).__name__}); falling back to XLA blocks."
-                    )
-                    config = dict(config, use_pallas=False)
-                    fn = build_predict_fn(knobs_now)
+                        outs = _attempt(fn)
+                        break
+                    try:
+                        outs = _attempt(fn)
+                    except Exception as exc2:
+                        exc = exc2
+                        continue
                     state["active"] = (fn, knobs_now)
                     state["raw_fn"] = None
-                    outs = fn(
-                        params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev
-                    )
+                    break
             first_batch = False
         else:
             outs = fn(params, codes_dev, ridx_dev, coff_dev, base_key, nk_dev)
@@ -629,6 +651,13 @@ def simulate_run(
         "seconds": elapsed,
         "ksamples_per_s": exporter.total_samples / elapsed / 1e3 if elapsed else 0.0,
     }
+    if timing:
+        # Machine-readable copy of the stage timers so callers (bench.py)
+        # can report the compute-vs-transfer split, not just wall clock.
+        stats["timers"] = {
+            k: (v if isinstance(v, int) else round(v, 3))
+            for k, v in timers.items()
+        }
     logger.info(
         f"Simulated {stats['reads']} reads / {stats['samples']:,} samples in "
         f"{elapsed:.2f}s ({stats['ksamples_per_s']:.1f} kSamples/s)"
