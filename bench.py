@@ -34,7 +34,17 @@ N_READS = int(os.environ.get("BENCH_READS", 10_000))
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
 N_CPU_READS = int(os.environ.get("BENCH_CPU_READS", 32))
+# Backend-init retries: the tunneled backend's claim attempt blocks up to
+# ~26 min before raising UNAVAILABLE during an outage (round 3 lost its
+# bench to exactly this), so attempts are few but each is long, with
+# backoff sleeps spreading them across the run window.
+INIT_ATTEMPTS = int(os.environ.get("BENCH_INIT_ATTEMPTS", 3))
+INIT_PROBE_TIMEOUT = int(os.environ.get("BENCH_INIT_PROBE_TIMEOUT", 2100))
 TARGET_SECONDS = 60.0
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST_GOOD.json")
+# TPU v5e peak: 197 TFLOP/s bf16 per chip (the MFU denominator).
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
 
 def sim_kwargs(cfg, weights, out, batch):
@@ -116,6 +126,108 @@ def measure_cpu_denominator():
         return None
 
 
+def attempt_real_weights():
+    """Best-effort live released-weights attempt (VERDICT r3 missing #1):
+    in whatever environment the bench runs, try to fetch the upstream
+    R10 .ckpt via io/weights.py and import it. Runs in a SUBPROCESS with
+    a hard timeout so a blackholed egress route cannot stall the bench;
+    never fatal. The returned record lands in the bench JSON either as
+    the imported checkpoint's identity (ckpt name + param count) or as
+    the error that proves egress is impossible here — so every bench
+    artifact states where the real-weights fidelity gap stands.
+    Set BENCH_SKIP_REAL_WEIGHTS=1 to skip."""
+    if os.environ.get("BENCH_SKIP_REAL_WEIGHTS"):
+        return None
+    script = (
+        "import json\n"
+        "import numpy as np\n"
+        "rec = {}\n"
+        "try:\n"
+        "    from seq2squiggle_tpu.io.weights import resolve_pretrained\n"
+        "    path = resolve_pretrained('dna-r10-prom')\n"
+        "    rec['ckpt'] = path.rsplit('/', 1)[-1]\n"
+        "    from seq2squiggle_tpu.models.torch_import import load_checkpoint\n"
+        "    params, _ = load_checkpoint(path)\n"
+        "    import jax\n"
+        "    rec['params'] = int(sum(int(np.prod(np.shape(l)))\n"
+        "        for l in jax.tree_util.tree_leaves(params)))\n"
+        "    rec['status'] = 'imported'\n"
+        "except Exception as exc:\n"
+        "    rec['status'] = 'unavailable'\n"
+        "    rec['error'] = f'{type(exc).__name__}: {exc}'[:300]\n"
+        "print('REAL_WEIGHTS ' + json.dumps(rec))\n"
+    )
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            text=True, timeout=300, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("REAL_WEIGHTS "):
+                return json.loads(line[len("REAL_WEIGHTS "):])
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        return {"status": "unavailable",
+                "error": (tail[-1][:300] if tail else f"rc={proc.returncode}")}
+    except subprocess.TimeoutExpired:
+        return {"status": "unavailable", "error": "timeout after 300s"}
+
+
+def wait_for_backend():
+    """Probe backend init in a SUBPROCESS with bounded exponential-backoff
+    retries. A probe child that fails (or hangs past the claim-wait
+    ceiling) leaves the parent's JAX state untouched, so a later attempt
+    can still succeed in-process. Returns (ok, attempts, last_error)."""
+    probe = ("import jax; d = jax.devices(); "
+             "print('BENCH_PROBE_OK', len(d), d[0].platform)")
+    last_error = None
+    for attempt in range(1, INIT_ATTEMPTS + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=INIT_PROBE_TIMEOUT,
+            )
+            if proc.returncode == 0 and "BENCH_PROBE_OK" in proc.stdout:
+                return True, attempt, None
+            tail = (proc.stderr or proc.stdout).strip().splitlines()
+            last_error = tail[-1][:400] if tail else f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last_error = f"probe timeout after {INIT_PROBE_TIMEOUT}s"
+        if attempt < INIT_ATTEMPTS:
+            time.sleep(min(60 * 2 ** (attempt - 1), 300))
+    return False, INIT_ATTEMPTS, last_error
+
+
+def emit_failure(error, attempts, partial=None):
+    """The bench must NEVER exit nonzero on a backend outage: emit a JSON
+    record carrying the error, the attempt count, and the last good
+    driver-comparable result so the round still has an artifact."""
+    last_good = None
+    try:
+        with open(LAST_GOOD) as fh:
+            last_good = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
+    record = {
+        "metric": "ksamples_per_s_per_chip",
+        "value": None,
+        "unit": "kSamples/s",
+        "vs_baseline": None,
+        "error": str(error)[:800],
+        "attempts": attempts,
+        "last_good": last_good,
+    }
+    if partial:
+        record["partial"] = partial
+    # CPU-only egress probe still runs during an outage: the artifact
+    # should carry the real-weights record regardless of TPU health.
+    real_weights = attempt_real_weights()
+    if real_weights:
+        record["real_weights"] = real_weights
+    print(json.dumps(record))
+    return 0
+
+
 def measure_device_compute(cfg, n_iters=32):
     """Steady-state ON-CHIP time of the jitted predict program, via the
     SLOPE method: wall(1 dispatch + 1-byte probe fetch) vs wall(n_iters
@@ -181,35 +293,68 @@ def measure_device_compute(cfg, n_iters=32):
         tn = walled(n_iters)
         slopes.append((tn - t1) / (n_iters - 1))
     per_batch = statistics.median(slopes)
-    return {
+    out = {
         "device_batch_ms": round(per_batch * 1e3, 2),
         "device_kchunks_per_s": round(BATCH / per_batch / 1e3, 1),
     }
+    # MFU line: XLA's own FLOP count for the compiled program over the
+    # slope-measured batch time, against the chip's bf16 peak. Tracked
+    # per round so utilization regressions are visible in the artifact
+    # (round 3 found the hot matmuls using 8/128 MXU lanes only by
+    # hand-profiling).
+    try:
+        ca = fn.lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            out["device_gflops_per_batch"] = round(flops / 1e9, 2)
+            out["device_tflops_per_s"] = round(flops / per_batch / 1e12, 2)
+            out["mfu_pct"] = round(flops / per_batch / PEAK_FLOPS * 100, 2)
+    except Exception:
+        pass
+    return out
 
 
 def main():
     if os.environ.get("BENCH_MODE") == "cpu":
         return cpu_denominator_main()
 
+    ok, attempts, err = wait_for_backend()
+    if not ok:
+        return emit_failure(f"TPU backend unavailable: {err}", attempts)
+
     cfg = _setup()
     from seq2squiggle_tpu.runtime.simulate import simulate_run
 
+    # Stage timers ride the stats dict so the artifact carries the
+    # compute-vs-transfer split (the round-3 "compute is 3 ms/batch"
+    # error survived two rounds because the JSON only held wall clock).
+    os.environ.setdefault("SEQ2SQUIGGLE_TPU_TIMERS", "1")
     out = os.path.join(tempfile.mkdtemp(prefix="bench_"), "lambda_10k.blow5")
     warm = sim_kwargs(cfg, _weights(), out, BATCH)
 
-    # Warm-up: compile the inner loop on a few reads so the measured runs
-    # are steady-state (first XLA compile is excluded, as is standard).
-    simulate_run(**warm)
-    os.remove(out)
-
     runs = []
-    for _ in range(max(N_RUNS, 1)):
-        t0 = time.perf_counter()
-        stats = simulate_run(**{**warm, "n": N_READS})
-        wall = time.perf_counter() - t0
-        runs.append((wall, stats))
-        blow5_bytes = os.path.getsize(out)
+    try:
+        # Warm-up: compile the inner loop on a few reads so the measured
+        # runs are steady-state (first XLA compile is excluded, as is
+        # standard).
+        simulate_run(**warm)
         os.remove(out)
+
+        for _ in range(max(N_RUNS, 1)):
+            t0 = time.perf_counter()
+            stats = simulate_run(**{**warm, "n": N_READS})
+            wall = time.perf_counter() - t0
+            runs.append((wall, stats))
+            blow5_bytes = os.path.getsize(out)
+            os.remove(out)
+    except Exception as exc:  # mid-run outage: keep what finished
+        if not runs:
+            return emit_failure(exc, attempts)
+        partial = {"completed_runs": [round(w, 2) for w, _ in runs]}
+        return emit_failure(f"died after {len(runs)} run(s): {exc}",
+                            attempts, partial=partial)
 
     walls = sorted(w for w, _ in runs)
     med_wall, med_stats = sorted(runs, key=lambda r: r[0])[len(runs) // 2]
@@ -225,11 +370,18 @@ def main():
                       " and >= 50x CPU",
         "blow5_bytes": blow5_bytes,
     }
+    if med_stats.get("timers"):
+        # Compute-vs-transfer split for the median run. Stages overlap
+        # (threads), so these are per-stage walls, not a partition.
+        detail["stage_timers_s"] = med_stats["timers"]
     if not os.environ.get("BENCH_SKIP_CPU"):
         cpu = measure_cpu_denominator()
         if cpu:
             detail["cpu_ksamples_per_s"] = cpu["cpu_ksamples_per_s"]
             detail["vs_cpu"] = round(ks / cpu["cpu_ksamples_per_s"], 1)
+    real_weights = attempt_real_weights()
+    if real_weights:
+        detail["real_weights"] = real_weights
     if not os.environ.get("BENCH_SKIP_DEVICE"):
         try:
             dev = measure_device_compute(cfg)
@@ -250,6 +402,16 @@ def main():
         "vs_baseline": round(TARGET_SECONDS / med_wall, 3),
         "detail": detail,
     }
+    try:  # persist for emit_failure's last_good in a future outage round
+        import datetime
+
+        with open(LAST_GOOD, "w") as fh:
+            json.dump({**result,
+                       "recorded_utc": datetime.datetime.now(
+                           datetime.timezone.utc).isoformat(timespec="seconds")},
+                      fh)
+    except OSError:
+        pass
     print(json.dumps(result))
     return 0
 
