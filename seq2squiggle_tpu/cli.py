@@ -329,7 +329,7 @@ def preprocess(events_path, outdir, no_batches, chunksize, partition_by, rna,
 @click.option("--save_valid_plots", default=True, type=bool,
               help="Save validation plots during training.")
 @click.option("--resume", is_flag=True, default=False, show_default=True,
-              help="Resume from the train_state.pkl next to the model path "
+              help="Resume from the train_state.npz next to the model path "
               "(restores optimizer state and epoch).")
 @click.option("--tp", "tensor_parallel", type=int, default=None,
               help="Tensor-parallel degree over the ('dp','tp') device mesh "

@@ -147,18 +147,89 @@ def per_param_grad_norms(grads) -> Dict[str, jnp.ndarray]:
 
 
 def _save_train_state(path: str, params, opt_state, epoch: int):
-    state = {
-        "params": jax.tree_util.tree_map(np.asarray, params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
-        "epoch": epoch,
+    """Write train_state.npz: params under params/<path>, optimizer-state
+    leaves as opt/<i> in tree-flatten order, plus a JSON meta record.
+
+    Only leaf VALUES go to disk — the optimizer tree STRUCTURE is rebuilt
+    from the current optimizer's freshly-initialised state on resume, so
+    the format survives optax version changes that keep the leaf schedule
+    (unlike the raw pickle this replaces, which froze optax's internal
+    class layout into the artifact). allow_pickle=False end to end."""
+    import json
+
+    from ..models.torch_import import _flatten
+
+    flat = {
+        f"params/{k}": v
+        for k, v in _flatten(jax.tree_util.tree_map(np.asarray, params)).items()
     }
-    with open(path, "wb") as fh:
-        pickle.dump(state, fh)
+    opt_leaves = jax.tree_util.tree_leaves(opt_state)
+    for i, leaf in enumerate(opt_leaves):
+        flat[f"opt/{i:04d}"] = np.asarray(leaf)
+    flat["__meta__"] = np.frombuffer(
+        json.dumps({"epoch": int(epoch), "n_opt_leaves": len(opt_leaves),
+                    "format": 1}).encode("utf-8"),
+        np.uint8,
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)  # atomic: a crash mid-save keeps the old state
 
 
 def load_train_state(path: str):
-    with open(path, "rb") as fh:
-        return pickle.load(fh)
+    """Load a train state; returns {params, opt_leaves, epoch}.
+
+    Dispatches on extension: .npz is the current format; .pkl is the
+    legacy raw-pickle format (pre-format-1 runs), loadable once so an
+    in-flight training run can still resume after upgrading."""
+    if path.endswith(".pkl"):
+        with open(path, "rb") as fh:
+            legacy = pickle.load(fh)
+        return {
+            "params": legacy["params"],
+            "opt_leaves": jax.tree_util.tree_leaves(legacy["opt_state"]),
+            "epoch": int(legacy["epoch"]),
+        }
+    import json
+
+    from ..models.torch_import import _unflatten
+
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(flat.pop("__meta__")).decode("utf-8"))
+    params = _unflatten(
+        {k[len("params/"):]: v for k, v in flat.items()
+         if k.startswith("params/")}
+    )
+    opt_leaves = [flat[f"opt/{i:04d}"] for i in range(meta["n_opt_leaves"])]
+    return {"params": params, "opt_leaves": opt_leaves,
+            "epoch": int(meta["epoch"])}
+
+
+def restore_opt_state(fresh_opt_state, saved_leaves):
+    """Graft saved leaf values onto the CURRENT optimizer's state tree.
+
+    Validates leaf count and per-leaf shapes against the freshly
+    initialised state so a config/optimizer mismatch fails loudly instead
+    of silently mis-assigning moments."""
+    leaves, treedef = jax.tree_util.tree_flatten(fresh_opt_state)
+    if len(leaves) != len(saved_leaves):
+        raise ValueError(
+            f"train_state has {len(saved_leaves)} optimizer leaves but the "
+            f"current optimizer expects {len(leaves)} — optimizer config "
+            "changed since the state was saved; restart without --resume."
+        )
+    out = []
+    for i, (ref, new) in enumerate(zip(leaves, saved_leaves)):
+        new = np.asarray(new)
+        if tuple(np.shape(ref)) != tuple(new.shape):
+            raise ValueError(
+                f"train_state optimizer leaf {i} has shape {new.shape} but "
+                f"the current optimizer expects {tuple(np.shape(ref))} — "
+                "model/optimizer config changed; restart without --resume."
+            )
+        out.append(new)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def train_run(
@@ -247,15 +318,19 @@ def train_run(
 
     opt_state = optimizer.init(params)
     start_epoch = 0
-    state_path = os.path.join(log_dir, "train_state.pkl")
-    if resume and os.path.exists(state_path):
+    state_path = os.path.join(log_dir, "train_state.npz")
+    legacy_path = os.path.join(log_dir, "train_state.pkl")
+    resume_path = (
+        state_path if os.path.exists(state_path)
+        else legacy_path if os.path.exists(legacy_path)
+        else None
+    )
+    if resume and resume_path:
         # Mid-training resume with optimizer state (beyond the reference's
         # weights-only checkpoints).
-        saved = load_train_state(state_path)
+        saved = load_train_state(resume_path)
         params = place_params(saved["params"])
-        opt_state = jax.tree_util.tree_map(
-            lambda ref, new: np.asarray(new), opt_state, saved["opt_state"]
-        )
+        opt_state = restore_opt_state(opt_state, saved["opt_leaves"])
         start_epoch = int(saved["epoch"]) + 1
         logger.info(f"Resuming training from epoch {start_epoch}")
     elif resume:
@@ -376,7 +451,7 @@ def train_run(
                     config,
                 )
                 _save_train_state(
-                    os.path.join(log_dir, "train_state.pkl"), ckpt_params,
+                    os.path.join(log_dir, "train_state.npz"), ckpt_params,
                     ckpt_opt, epoch,
                 )
 

@@ -193,7 +193,7 @@ def test_train_run_end_to_end(tmp_path):
     assert (tmp_path / "ckpt" / "model.npz").exists()
     assert (tmp_path / "ckpt" / "model-epoch1.npz").exists()
     assert (tmp_path / "ckpt" / "metrics.jsonl").exists()
-    assert (tmp_path / "ckpt" / "train_state.pkl").exists()
+    assert (tmp_path / "ckpt" / "train_state.npz").exists()
 
     # trained checkpoint loads back into the predict path
     from seq2squiggle_tpu.models.torch_import import load_native_checkpoint
@@ -211,9 +211,9 @@ def test_train_state_resume(tmp_path):
     train_run(train_dir=train_dir, valid_dir=None, config=cfg,
               model_path=str(model_path), save_valid_plots=False, seed=1,
               max_steps_per_epoch=2)
-    state = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
+    state = load_train_state(str(tmp_path / "ckpt" / "train_state.npz"))
     assert state["epoch"] == cfg["max_epochs"] - 1
-    assert "params" in state and "opt_state" in state
+    assert "params" in state and "opt_leaves" in state
 
 
 def test_train_resume_continues(tmp_path):
@@ -226,18 +226,105 @@ def test_train_resume_continues(tmp_path):
     train_run(train_dir=train_dir, valid_dir=None, config=cfg1,
               model_path=str(model_path), save_valid_plots=False, seed=1,
               max_steps_per_epoch=2)
-    state1 = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
+    state1 = load_train_state(str(tmp_path / "ckpt" / "train_state.npz"))
     assert state1["epoch"] == 0
 
     cfg2 = dict(cfg, max_epochs=3)
     train_run(train_dir=train_dir, valid_dir=None, config=cfg2,
               model_path=str(model_path), save_valid_plots=False, seed=1,
               max_steps_per_epoch=2, resume=True)
-    state2 = load_train_state(str(tmp_path / "ckpt" / "train_state.pkl"))
+    state2 = load_train_state(str(tmp_path / "ckpt" / "train_state.npz"))
     assert state2["epoch"] == 2
     # epoch-1 and epoch-2 checkpoints were produced by the resumed run
     assert (tmp_path / "ckpt" / "model-epoch1.npz").exists()
     assert (tmp_path / "ckpt" / "model-epoch2.npz").exists()
+
+
+def test_train_state_npz_format(tmp_path):
+    """Format contract for train_state.npz (VERDICT r3 weak #5): pure-npz
+    (allow_pickle=False), exact leaf round-trip through the flat opt/<i>
+    layout, and loud failure on an optimizer-config mismatch instead of
+    silent moment mis-assignment."""
+    import numpy as np
+
+    from seq2squiggle_tpu.train.loop import (
+        _save_train_state, load_train_state, restore_opt_state,
+    )
+    from seq2squiggle_tpu.train.optimizers import build_optimizer
+    from seq2squiggle_tpu.models.fft_model import init_params
+    import jax
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.key(0))
+    optimizer = build_optimizer(cfg, total_steps=10)
+    opt_state = optimizer.init(params)
+    # perturb the moments so the round-trip is not trivially zeros
+    opt_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + 0.25 if np.asarray(x).dtype.kind == "f"
+        else np.asarray(x), opt_state)
+
+    path = str(tmp_path / "train_state.npz")
+    _save_train_state(path, params, opt_state, epoch=7)
+    # the artifact must load with allow_pickle=False (load_train_state
+    # already enforces it, but pin it here as the format contract)
+    with np.load(path, allow_pickle=False) as data:
+        assert any(k.startswith("opt/") for k in data.files)
+        assert any(k.startswith("params/") for k in data.files)
+
+    saved = load_train_state(path)
+    assert saved["epoch"] == 7
+    restored = restore_opt_state(optimizer.init(params), saved["opt_leaves"])
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(saved["params"]),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mismatched optimizer (different moment count) must raise, not graft
+    other = build_optimizer(dict(cfg, optimizer="SGD"), total_steps=10)
+    with pytest.raises(ValueError, match="optimizer leaves"):
+        restore_opt_state(other.init(params), saved["opt_leaves"])
+
+
+def test_train_state_legacy_pickle_resume(tmp_path):
+    """A pre-format-1 train_state.pkl (raw pickle) still resumes once:
+    load_train_state dispatches on extension and train_run falls back to
+    the legacy path when no .npz exists."""
+    import pickle
+
+    import numpy as np
+
+    from seq2squiggle_tpu.train.loop import load_train_state, train_run
+
+    cfg = tiny_config()
+    train_dir = _make_training_dir(tmp_path, cfg)
+    model_path = tmp_path / "ckpt" / "model.npz"
+    cfg1 = dict(cfg, max_epochs=1)
+    train_run(train_dir=train_dir, valid_dir=None, config=cfg1,
+              model_path=str(model_path), save_valid_plots=False, seed=1,
+              max_steps_per_epoch=2)
+    # convert the produced npz state into the legacy pickle layout
+    state = load_train_state(str(tmp_path / "ckpt" / "train_state.npz"))
+    from seq2squiggle_tpu.train.optimizers import build_optimizer
+    from seq2squiggle_tpu.train.loop import restore_opt_state
+    opt = build_optimizer(cfg1, total_steps=10)
+    legacy = {
+        "params": state["params"],
+        "opt_state": restore_opt_state(opt.init(state["params"]),
+                                       state["opt_leaves"]),
+        "epoch": state["epoch"],
+    }
+    (tmp_path / "ckpt" / "train_state.npz").unlink()
+    with open(tmp_path / "ckpt" / "train_state.pkl", "wb") as fh:
+        pickle.dump(legacy, fh)
+
+    cfg2 = dict(cfg, max_epochs=2)
+    train_run(train_dir=train_dir, valid_dir=None, config=cfg2,
+              model_path=str(model_path), save_valid_plots=False, seed=1,
+              max_steps_per_epoch=2, resume=True)
+    state2 = load_train_state(str(tmp_path / "ckpt" / "train_state.npz"))
+    assert state2["epoch"] == 1  # resumed from legacy epoch 0
 
 
 def test_train_run_tensor_parallel(tmp_path):
