@@ -290,6 +290,7 @@ class Pod5NativeWriter:
         self._reads: List[dict] = []  # metadata only, no signal arrays
         self._run_info: Optional[dict] = None
         self._fh = None
+        self._closed = False
         self._sig_writer = None
         self._signal_offset = 0
         self._section_marker = b""
@@ -378,6 +379,8 @@ class Pod5NativeWriter:
     def close(self):
         import pyarrow as pa
 
+        if self._closed:  # idempotent: a second close() must NOT reopen
+            return        # the filename 'wb' and truncate the real file
         if self._run_info is None:
             raise ValueError("set_run_info() must be called before close()")
         self._ensure_open()  # zero-read runs still produce a valid file
@@ -505,6 +508,7 @@ class Pod5NativeWriter:
         fh.write(SIGNATURE)
         fh.close()
         self._fh = None
+        self._closed = True
         self._reads = []
 
 

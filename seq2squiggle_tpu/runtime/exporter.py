@@ -28,8 +28,9 @@ class StreamingExporter:
     """Accumulate per-read signal pieces; flush complete reads to a writer.
 
     export_every_n_chunks mirrors the reference's export_every_n_samples
-    (which counts chunks, model.py:247-250). A non-streaming writer (POD5)
-    passes float('inf') to defer everything to finalize().
+    (which counts chunks, model.py:247-250). All writers — BLOW5 and the
+    streaming POD5 container alike — flush on this cadence; float('inf')
+    remains available to defer everything to finalize().
     """
 
     def __init__(self, writer, export_every_n_chunks: float = 1_000_000):

@@ -1,5 +1,7 @@
 """Native POD5 writer: container round-trip + writer facade + e2e."""
 
+import os
+
 import numpy as np
 import pytest
 import uuid
@@ -48,6 +50,26 @@ def test_pod5_native_roundtrip(tmp_path):
         assert read["median_before"] == pytest.approx(200.0 + i)
         assert read["end_reason"] == "signal_positive"
         assert read["calibration_offset"] == pytest.approx(-120.5)
+
+
+def test_pod5_double_close_is_idempotent(tmp_path):
+    """A second close() must be a no-op — not reopen the filename 'wb'
+    (which truncates the completed container to an empty file)."""
+    path = str(tmp_path / "out.pod5")
+    writer = Pod5NativeWriter(path)
+    writer.set_run_info(sample_rate=5000, sequencing_kit="SQK-LSK114",
+                        flow_cell_product_code="FLO-MIN114",
+                        sample_id="test")
+    writer.add_read(read_id=indexed_uuid(1),
+                    signal=np.arange(64, dtype=np.int16))
+    writer.close()
+    size = os.path.getsize(path)
+    writer.close()  # must not truncate or rewrite
+    assert os.path.getsize(path) == size
+    data = read_pod5(path)
+    assert len(data["reads"]) == 1
+    np.testing.assert_array_equal(
+        data["reads"][0]["signal"], np.arange(64, dtype=np.int16))
 
 
 def test_pod5_streaming_multi_flush(tmp_path):
