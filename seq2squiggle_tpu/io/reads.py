@@ -50,15 +50,20 @@ def sanitise_genome(seq: str) -> str:
 
 
 def n_to_random_bases(read: str) -> str:
-    """Replace N with random ACGT (reference: utils.py:401-402), vectorised."""
+    """Replace N with random ACGT (reference: utils.py:401-402), vectorised.
+
+    Draws ride random.randbytes (one call on the seeded global Mersenne
+    stream, 2 bits per N) instead of a per-N python randrange loop — a
+    read straddling a multi-kb assembly gap used to cost thousands of
+    python iterations. Same uniform marginal per N; deterministic under
+    the same seed (the stream consumption differs from the old loop)."""
     arr = np.frombuffer(read.encode("ascii"), np.uint8).copy()
     n_mask = arr == ord("N")
     count = int(n_mask.sum())
     if count:
         choices = np.frombuffer(b"ACGT", np.uint8)
-        arr[n_mask] = np.array(
-            [choices[random.randrange(4)] for _ in range(count)], np.uint8
-        )
+        draws = np.frombuffer(random.randbytes(count), np.uint8) & 3
+        arr[n_mask] = choices[draws]
     return arr.tobytes().decode("ascii")
 
 
@@ -291,8 +296,12 @@ def get_reads(
         )
         return generator(), effective
 
-    # Reference mode
-    genome_seqs = [sanitise_genome(seq) for seq, _ in read_fastx(fasta)]
+    # Reference mode: sanitisation (uppercase, non-ACGT -> N; reference
+    # utils.py:593-596) fuses into the parser's newline-strip translate
+    # pass — one pass over the genome, no second full-genome copy.
+    from .fasta import read_fasta_translated
+
+    genome_seqs = [seq for seq, _ in read_fasta_translated(fasta, _SANITISE)]
     genome_lens = [len(s) for s in genome_seqs]
     reads, total_chunks = sample_reads_from_reference(
         genome_seqs, genome_lens, n, r, c, config, seed, distr, profile,
