@@ -228,6 +228,36 @@ def emit_failure(error, attempts, partial=None):
     return 0
 
 
+def _analytic_flops(config):
+    """Model FLOPs per chunk of the predict program (2·MACs, static
+    shapes). Counts the useful work — matmuls of encoder/decoder blocks
+    (head-loop attention semantics), regulator einsum, duration/noise
+    heads — and ignores elementwise ops, so the MFU line is a stable
+    lower bound comparable across kernel variants."""
+    D = int(config["dmodel"])
+    dff = int(config["dff"])
+    Le = int(config["max_dna_len"])
+    Lt = int(config["max_signal_len"])
+    He = int(config["encoder_heads"])
+    Hd = int(config["decoder_heads"])
+
+    def block(L, H):
+        qkv = 3 * 2 * L * D * D
+        scores = 2 * H * L * L * (D // H)
+        ctx = 2 * H * L * L * (D // H)
+        den = 2 * H * L * L  # e @ 1 softmax denominator
+        out = 2 * L * D * D
+        ffn = 2 * 2 * L * D * dff
+        return qkv + scores + ctx + den + out + ffn
+
+    enc = int(config["encoder_layers"]) * block(Le, He)
+    dec = int(config["decoder_layers"]) * block(Lt, Hd)
+    heads = 2 * Le * D * 2 + 2 * Le * D  # duration(2) + noise(1) heads
+    reg = 2 * Lt * (Le + 1) * D          # segment-map einsum expansion
+    out_head = 2 * Lt * D
+    return float(enc + dec + heads + reg + out_head)
+
+
 def measure_device_compute(cfg, n_iters=32):
     """Steady-state ON-CHIP time of the jitted predict program, via the
     SLOPE method: wall(1 dispatch + 1-byte probe fetch) vs wall(n_iters
@@ -297,22 +327,31 @@ def measure_device_compute(cfg, n_iters=32):
         "device_batch_ms": round(per_batch * 1e3, 2),
         "device_kchunks_per_s": round(BATCH / per_batch / 1e3, 1),
     }
-    # MFU line: XLA's own FLOP count for the compiled program over the
-    # slope-measured batch time, against the chip's bf16 peak. Tracked
-    # per round so utilization regressions are visible in the artifact
-    # (round 3 found the hot matmuls using 8/128 MXU lanes only by
-    # hand-profiling).
+    # MFU line: FLOP count for the program over the slope-measured batch
+    # time, against the chip's bf16 peak. Tracked per round so
+    # utilization regressions are visible in the artifact (round 3 found
+    # the hot matmuls using 8/128 MXU lanes only by hand-profiling).
+    # Prefers XLA's own cost analysis; the axon AOT-compile backend
+    # returns None from cost_analysis(), so fall back to the analytic
+    # model-FLOP count (useful FLOPs at head-loop semantics — the MFU
+    # convention; the packed kernel's replicated score FLOPs are not
+    # "useful" work and would flatter the number).
+    flops, src = 0.0, "xla"
     try:
         ca = fn.lower(*args).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            out["device_gflops_per_batch"] = round(flops / 1e9, 2)
-            out["device_tflops_per_s"] = round(flops / per_batch / 1e12, 2)
-            out["mfu_pct"] = round(flops / per_batch / PEAK_FLOPS * 100, 2)
+        if ca:
+            flops = float(ca.get("flops", 0.0))
     except Exception:
         pass
+    if flops <= 0:
+        flops, src = _analytic_flops(config) * BATCH, "analytic"
+    if flops > 0:
+        out["device_gflops_per_batch"] = round(flops / 1e9, 2)
+        out["device_tflops_per_s"] = round(flops / per_batch / 1e12, 2)
+        out["mfu_pct"] = round(flops / per_batch / PEAK_FLOPS * 100, 2)
+        out["flops_source"] = src
     return out
 
 

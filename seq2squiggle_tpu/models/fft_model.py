@@ -57,8 +57,12 @@ def _packed_mode(config: dict):
 
 def _pair_mode(config: dict) -> bool:
     """config 'pallas_pair' -> fuse the decoder's two FFT blocks into one
-    pallas_call ('auto' currently means OFF, pending hardware timing —
-    the same gate discipline as pallas_packed)."""
+    pallas_call. 'auto' means OFF: round-4 hardware timing
+    (scripts/profiling/profile_r4.py) measured the pair fusion within
+    noise of sequential calls (head-loop 36.8 vs 37.0 ms/2blocks) and
+    SLOWER in the packed regime (median 14.5 vs 13.6 — the halved batch
+    tile costs more than the saved HBM round trip), so the knob stays a
+    manual override."""
     mode = config.get("pallas_pair", "auto")
     if mode == "auto":
         return False

@@ -99,7 +99,8 @@ def _attn_headloop(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
     return jnp.concatenate(ctx_heads, axis=-1)  # (TB*L, D)
 
 
-def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
+def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
+                 L_real):
     """Head-PACKED attention: all heads ride one matmul per stage.
 
     The per-head loop's matmuls contract (scores) or output (ctx) only
@@ -122,6 +123,19 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
       collapse: H static sublane slices + head-channel masks re-fold
           (TB, HL, ·) to (TB, L, D) — no 4D tensors, no minor-dim
           reshapes (Mosaic-safe).
+
+    Mosaic layout constraints (learned from a real-chip compile failure,
+    round 4): tpu.concatenate requires every input to share sublane/lane
+    offsets on the NON-concat dims, so (a) L must be a multiple of the
+    8-row sublane tile — callers pad L 250→256 and pass the true length
+    as L_real; padded key rows are masked out of e and of the ‖k‖ max,
+    padded q rows produce garbage that the caller slices off — and
+    (b) the per-row shift must NOT be assembled by concatenating 1-lane
+    slices qn[:, :, h:h+1] (each lives at lane offset h ⇒ offset
+    mismatch); instead the full (TB, L, H) norm product is tile-
+    concatenated H× down the sublane dim (identical pieces ⇒ identical
+    offsets), the off-head lanes are zeroed by a row-block mask, and a
+    lane-reduction folds it to (TB, HL, 1).
 
     Numerics: same max(ish)-shifted exp/divide-after-ctx structure as
     the head loop; agreement pinned by tests/test_pallas.py (f32 ≤1e-7,
@@ -150,18 +164,35 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
                   preferred_element_type=jnp.float32)   # (TB*L, H)
     kn2 = jnp.dot(kf * kf, hmask_f,
                   preferred_element_type=jnp.float32)   # (TB*L, H)
-    kn2m = jnp.max(kn2.reshape(TB, L, n_head), axis=1, keepdims=True)
+    kn2r = kn2.reshape(TB, L, n_head)
+    if L_real != L:
+        # padded key rows must not inflate the per-head ‖k‖ max
+        krow = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+        kn2r = jnp.where(krow < L_real, kn2r, jnp.float32(0))
+    kn2m = jnp.max(kn2r, axis=1, keepdims=True)
     qn = jnp.sqrt(qn2).reshape(TB, L, n_head)
     kn = jnp.sqrt(kn2m)                                 # (TB, 1, H)
-    shift = jnp.concatenate(
-        [qn[:, :, h:h + 1] * kn[:, :, h:h + 1] for h in range(n_head)],
-        axis=1) * inv_temp                              # (TB, HL, 1)
+    qk = qn * kn * inv_temp                             # (TB, L, H)
+    # fold (TB, L, H) -> (TB, HL, 1): tile H× down sublanes (identical
+    # pieces share layout offsets), keep head h's lane in row block h,
+    # lane-reduce. Replaces the offset-mismatched 1-lane concat.
+    qk_t = jnp.concatenate([qk] * n_head, axis=1)       # (TB, HL, H)
+    rh = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 0) // L
+    rc = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 1)
+    rsel = (rh == rc).astype(jnp.float32)               # (HL, H)
+    shift = jnp.sum(qk_t * rsel, axis=-1, keepdims=True)  # (TB, HL, 1)
 
     scores = jax.lax.dot_general(
         qhat, k3, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (TB, HL, L) f32, un-tempered
-    e = jnp.exp(scores * inv_temp - shift).astype(compute_dtype)
+    e = jnp.exp(scores * inv_temp - shift)
+    if L_real != L:
+        # zero padded key columns (their k rows are zeros in block 1 but
+        # LN output in later fused blocks — mask unconditionally)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        e = jnp.where(kcol < L_real, e, jnp.float32(0))
+    e = e.astype(compute_dtype)
     num = jax.lax.dot_general(
         e, v3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -196,6 +227,7 @@ def _apply_block(
     n_head: int,
     compute_dtype,
     packed: bool,
+    L_real: int,
 ):
     """One post-LN attention+FFN block on a VMEM-resident (TB*L, D) tile.
 
@@ -222,8 +254,12 @@ def _apply_block(
     k = proj(wk, bk)
     v = proj(wv, bv)
 
-    attn = _attn_packed if packed else _attn_headloop
-    ctx = attn(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype)
+    if packed:
+        ctx = _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp,
+                           compute_dtype, L_real)
+    else:
+        ctx = _attn_headloop(q, k, v, TB, L, d_k, n_head, inv_temp,
+                             compute_dtype)
 
     o = jnp.dot(ctx, wf[:].astype(compute_dtype),
                 preferred_element_type=jnp.float32)
@@ -247,18 +283,23 @@ def _block_kernel(
     compute_dtype,
     packed: bool,
     n_blocks: int = 1,
+    L_real: int = 0,
 ):
     """Run n_blocks sequential FFT blocks on one VMEM tile.
 
     refs: n_blocks * 16 weight refs (in _WEIGHT_FIELDS order per block)
     followed by out_ref. With n_blocks=2 the (TB, L, D) activation makes
-    ONE HBM round trip for the whole decoder stack instead of two."""
+    ONE HBM round trip for the whole decoder stack instead of two.
+    L_real: true sequence length when the packed path padded L up to a
+    sublane multiple (padded rows flow through LN/FFN — rows are
+    independent there — and are masked out of attention)."""
     out_ref = refs[-1]
     TB, L, D = x_ref.shape
+    lr = L_real or L
     x2 = x_ref[:].astype(compute_dtype).reshape(TB * L, D)
     for b in range(n_blocks):
         w = refs[b * 16:(b + 1) * 16]
-        h = _apply_block(x2, w, TB, L, n_head, compute_dtype, packed)
+        h = _apply_block(x2, w, TB, L, n_head, compute_dtype, packed, lr)
         x2 = h.astype(compute_dtype)  # inter-block cast = the HBM round trip
     out_ref[:] = h.astype(out_ref.dtype).reshape(TB, L, D)
 
@@ -267,10 +308,11 @@ def _packed_default(L: int) -> bool:
     # Head-packing pays off when the (L, L) score stage dominates and the
     # per-head matmuls waste MXU lanes — the decoder's L=250. The encoder's
     # L=16 scores are trivial and the head loop is already fast there.
-    # OFF by default until the variant is timed on hardware (the per-head
-    # loop is the measured 17.6 ms/block baseline; flip to `L > 32` once
-    # scripts/profiling/profile_e.py shows the packed win on a real chip).
-    return False
+    # ON for long sequences since round 4's hardware timing
+    # (scripts/profiling/profile_r4.py on a v5e chip, B=2048 decoder
+    # shape): head-loop 37.0 ms/2blocks vs packed tile_b=4 13.6 ms —
+    # 2.7x, bf16 diffs within ULP noise (max 0.0156 on |x|<=4.16).
+    return L > 32
 
 
 def _tile_b(L: int, packed: bool) -> int:
@@ -278,11 +320,13 @@ def _tile_b(L: int, packed: bool) -> int:
     # Mosaic stack-allocates the unrolled per-head score/prob buffers
     # rather than reusing one, so the decoder tile (L=250) must keep 8
     # heads' (TB, L, L) f32 scores simultaneously: TB=4 -> 8 MB + FFN/LN
-    # temporaries. Packed: one (TB, 8L, L) f32 score + bf16 exp buffer
-    # (TB=2 -> 10 MB + (TB, 8L, D) num).
+    # temporaries. Packed: one (TB, 8Lp, Lp) f32 score + bf16 exp buffer
+    # at Lp=256 (TB=4 -> 12 MB + (TB, 8Lp, D) num ~ 2 MB — right at the
+    # budget, compiles and is the measured fastest: 13.6 ms/2blocks vs
+    # 15.1 at TB=2 on hardware).
     if L <= 32:
         return 64
-    return 2 if packed else 4
+    return 4
 
 
 def _tile_b_pair(L: int, packed: bool) -> int:
@@ -318,14 +362,22 @@ def fused_fft_block(
     if packed is None:
         packed = _packed_default(L)
     TB = tile_b or _tile_b(L, packed)
+    # Packed attention tile-concats down the sublane dim, which Mosaic
+    # only lowers when every piece shares layout offsets — pad L to the
+    # 8-row sublane tile (250 -> 256); padded rows are masked inside the
+    # kernel and sliced off here.
+    Lp = ((L + 7) // 8) * 8 if packed else L
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
     pad = (-B) % TB
     if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, L, D), x.dtype)], axis=0)
+        x = jnp.concatenate([x, jnp.zeros((pad, Lp, D), x.dtype)], axis=0)
     Bp = B + pad
 
     weights = [_get(block_params, path) for path in _WEIGHT_FIELDS]
     kernel = functools.partial(
-        _block_kernel, n_head=n_head, compute_dtype=x.dtype, packed=packed
+        _block_kernel, n_head=n_head, compute_dtype=x.dtype, packed=packed,
+        L_real=L,
     )
 
     grid = (Bp // TB,)
@@ -338,16 +390,16 @@ def fused_fft_block(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((TB, Lp, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((TB, Lp, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, L, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
         interpret=interpret,
     )(x, *weights)
-    return out[:B] if pad else out
+    return out[:B, :L] if (pad or Lp != L) else out
 
 
 @functools.partial(
@@ -380,9 +432,12 @@ def fused_fft_block_pair(
     if packed is None:
         packed = _packed_default(L)
     TB = tile_b or _tile_b_pair(L, packed)
+    Lp = ((L + 7) // 8) * 8 if packed else L  # see fused_fft_block
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
     pad = (-B) % TB
     if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, L, D), x.dtype)], axis=0)
+        x = jnp.concatenate([x, jnp.zeros((pad, Lp, D), x.dtype)], axis=0)
     Bp = B + pad
 
     weights = [
@@ -390,7 +445,7 @@ def fused_fft_block_pair(
     ]
     kernel = functools.partial(
         _block_kernel, n_head=n_head, compute_dtype=x.dtype, packed=packed,
-        n_blocks=2,
+        n_blocks=2, L_real=L,
     )
     w_specs = [
         pl.BlockSpec(w.shape, lambda i, s=w.shape: (0,) * len(s),
@@ -401,13 +456,13 @@ def fused_fft_block_pair(
         kernel,
         grid=(Bp // TB,),
         in_specs=[
-            pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((TB, Lp, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((TB, L, D), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((TB, Lp, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, L, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype),
         interpret=interpret,
     )(x, *weights)
-    return out[:B] if pad else out
+    return out[:B, :L] if (pad or Lp != L) else out
