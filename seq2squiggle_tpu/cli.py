@@ -141,6 +141,15 @@ def advanced_options(f):
                      "value pins the starting tier ('8' is the narrowest "
                      "unconditionally bit-lossless one, 'raw' disables "
                      "packing)."),
+        click.option("--slow5-press", default="zstd",
+                     type=click.Choice(["zstd", "zlib", "none"]),
+                     show_default=True, hidden=True,
+                     help="BLOW5 record compression (signal blobs are "
+                     "always svb-zd). zstd is ~4x cheaper to encode than "
+                     "zlib at the same output size and is a standard "
+                     "BLOW5 method readable by slow5lib/slow5tools "
+                     "release builds; zlib matches the reference's "
+                     "pyslow5 default byte-for-byte."),
     ]
     for opt in reversed(opts):
         f = opt(f)
@@ -180,8 +189,8 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
             export_every_n_samples, sample_rate, bps, digitisation, range_val,
             offset_mean, offset_std, median_before_mean, median_before_std,
             min_noise, min_duration, min_read_len, preserve_read_ids,
-            num_shards, shard_index, trace_dir, wire_format, seed,
-            model, config, verbosity):
+            num_shards, shard_index, trace_dir, wire_format, slow5_press,
+            seed, model, config, verbosity):
     """Generate sequencing signals from a genome or read FASTA file.
 
     FASTA must be a .fasta/.fastq file with the genome or reads to simulate.
@@ -276,6 +285,7 @@ def predict(ctx, fasta, read_input, num_reads, read_length, coverage, out,
         shard_index=shard_index,
         trace_dir=trace_dir,
         wire_format=wire_format,
+        slow5_press=slow5_press,
     )
     logger.info("Prediction done.")
 

@@ -54,6 +54,7 @@ from __future__ import annotations
 import logging
 import os
 import struct
+import threading
 import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -333,12 +334,27 @@ def _press_record(rec: bytes, method: int) -> bytes:
                 return out[:n].tobytes()
         return zlib.compress(rec, 1)
     if method == PRESS_ZSTD:
-        import zstandard
-
-        return zstandard.ZstdCompressor(level=1).compress(rec)
+        return _zstd_compressor().compress(rec)
     if method == PRESS_NONE:
         return rec
     raise ValueError(f"unsupported record compression method {method}")
+
+
+_ZSTD_LOCAL = threading.local()
+
+
+def _zstd_compressor():
+    # One ZstdCompressor per thread: the CCtx is reused across records
+    # (per-record construction measured ~2x the compress cost at record
+    # sizes ~25 KB) but a single context must not be shared across
+    # threads (zstandard's documented contract).
+    c = getattr(_ZSTD_LOCAL, "compressor", None)
+    if c is None:
+        import zstandard
+
+        c = zstandard.ZstdCompressor(level=1)
+        _ZSTD_LOCAL.compressor = c
+    return c
 
 
 def _depress_record(rec: bytes, method: int) -> bytes:

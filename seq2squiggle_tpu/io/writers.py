@@ -112,12 +112,33 @@ class _WriterBase:
         pass
 
 
+#: --slow5-press choices -> BLOW5 record-compression enum. "zstd" is the
+#: default: at bench volume (123 M samples, 1-core host) zlib-1 costs
+#: ~2.5 s of host CPU vs ~0.6 s for zstd-1 with a slightly SMALLER file
+#: (the svb-zd signal blobs dominate the record bytes and are
+#: high-entropy). Both are standard BLOW5 enum values (zstd=3) readable
+#: by slow5lib/slow5tools release builds; "zlib" restores the pyslow5
+#: default the reference emits (signal_io.py:83-86).
+SLOW5_PRESS = {"zstd": 3, "zlib": 1, "none": 0}
+
+
 class BLOW5Writer(_WriterBase):
     """Streaming SLOW5/BLOW5 writer (appendable across flushes)."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, slow5_press: str = "zstd", **kwargs):
         super().__init__(*args, **kwargs)
-        self._file = Slow5FileWriter(self.filename)
+        if slow5_press == "zstd":
+            try:
+                import zstandard  # noqa: F401
+            except ImportError:
+                logger.warning(
+                    "python-zstandard unavailable; falling back to zlib "
+                    "BLOW5 record compression"
+                )
+                slow5_press = "zlib"
+        self._file = Slow5FileWriter(
+            self.filename, record_press=SLOW5_PRESS[slow5_press]
+        )
         self._opened = False
 
     def _header_attrs(self):

@@ -32,7 +32,7 @@ logger = logging.getLogger("seq2squiggle_tpu")
 
 
 def get_writer(out, profile_dict, ideal_mode, export_every_n_samples,
-               profile_name, preserve_read_ids, rng):
+               profile_name, preserve_read_ids, rng, slow5_press="zstd"):
     """Choose the writer by extension (reference: inference.py:30-82)."""
     out = str(out)
     out_dir = os.path.dirname(out)
@@ -44,7 +44,8 @@ def get_writer(out, profile_dict, ideal_mode, export_every_n_samples,
 
     if out.endswith((".blow5", ".slow5")):
         writer = BLOW5Writer(
-            out, profile_dict, ideal_mode, profile_name, preserve_read_ids, rng
+            out, profile_dict, ideal_mode, profile_name, preserve_read_ids,
+            rng, slow5_press=slow5_press,
         )
         return writer, export_every_n_samples
     if out.endswith(".pod5"):
@@ -115,6 +116,7 @@ def simulate_run(
     shard_index: int = 0,
     trace_dir: Optional[str] = None,
     wire_format: str = "auto",
+    slow5_press: str = "zstd",
 ) -> dict:
     """Run the simulation; returns a stats dict (reads, samples, seconds).
 
@@ -141,7 +143,7 @@ def simulate_run(
     writer_rng = np.random.default_rng(seed)
     writer, export_every_n_samples = get_writer(
         out, profile_dict, ideal_mode, export_every_n_samples, profile,
-        preserve_read_ids, writer_rng,
+        preserve_read_ids, writer_rng, slow5_press=slow5_press,
     )
 
     params, ckpt_config = resolve_weights(saved_weights, config, seed, profile)

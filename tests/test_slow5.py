@@ -122,6 +122,28 @@ def test_preserve_read_ids(tmp_path):
     assert records[0]["read_id"] == "my_read"
 
 
+@pytest.mark.parametrize("press", ["zstd", "zlib", "none"])
+def test_slow5_press_choices_roundtrip(tmp_path, press):
+    """Every --slow5-press choice writes a readable BLOW5 with the matching
+    record-compression enum in the header (zstd=3 is the default; zlib=1
+    matches the reference's pyslow5 default, signal_io.py:83-86)."""
+    from seq2squiggle_tpu.io.writers import SLOW5_PRESS
+
+    path = str(tmp_path / "out.blow5")
+    profile = get_profile("dna-r10-min")
+    writer = BLOW5Writer(path, profile, True, "dna-r10-min", False,
+                         np.random.default_rng(0), slow5_press=press)
+    sig = {"a": np.arange(300, dtype=np.int16)}
+    writer.write_batch(sig)
+    writer.close()
+    with open(path, "rb") as fh:
+        header = fh.read(70)
+    # BLOW5 fixed header: magic(6) + version(3), record_press at offset 9
+    assert header[9] == SLOW5_PRESS[press]
+    _, records = read_slow5(path)
+    np.testing.assert_array_equal(records[0]["signal"], sig["a"])
+
+
 def test_empty_signal_skipped(tmp_path):
     path = str(tmp_path / "out.slow5")
     profile = get_profile("dna-r10-min")
