@@ -38,6 +38,9 @@ class AsyncWriter:
         self._writer = writer
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queued_batches)
         self._error: Optional[BaseException] = None
+        # wall/CPU seconds spent inside write_batch on the worker thread
+        # (read by runtime/simulate's stage-timer report)
+        self.timers = {"write": 0.0, "write_cpu": 0.0}
         self._thread = threading.Thread(
             target=self._run, name="seq2squiggle-export", daemon=True
         )
@@ -54,7 +57,12 @@ class AsyncWriter:
                 if item is _SENTINEL:
                     return
                 if self._error is None:
+                    import time
+
+                    t, tc = time.perf_counter(), time.thread_time()
                     self._writer.write_batch(item)
+                    self.timers["write"] += time.perf_counter() - t
+                    self.timers["write_cpu"] += time.thread_time() - tc
             except BaseException as exc:  # re-raised on the caller thread
                 self._error = exc
             finally:

@@ -397,6 +397,7 @@ def simulate_run(
         buf, batch, bits = entry
         segments = batch.segments
         t = time.perf_counter()
+        t_cpu = time.thread_time()
         from .wire import unframe_wire, unpack_wire
 
         flat = signal_np = counts_np = None
@@ -435,16 +436,24 @@ def simulate_run(
             signal_np, counts_np = arrs
         if timing:
             dt = time.perf_counter() - t
+            # thread_time = this thread's actual CPU seconds: on the 1-core
+            # host the wall numbers inflate under contention, so the CPU
+            # split is what says where the core really goes.
+            timers["decode_cpu"] = (timers.get("decode_cpu", 0.0)
+                                    + time.thread_time() - t_cpu)
             timers["decode"] += dt
             timers[f"decode_t{bits}"] = timers.get(f"decode_t{bits}", 0.0) + dt
             timers[f"n_t{bits}"] = timers.get(f"n_t{bits}", 0) + 1
             t = time.perf_counter()
+            t_cpu = time.thread_time()
         if flat is not None:
             exporter.add_flat(flat, counts_np, segments)
         else:
             exporter.add_batch(signal_np, counts_np, segments)
         if timing:
             timers["export"] += time.perf_counter() - t
+            timers["export_cpu"] = (timers.get("export_cpu", 0.0)
+                                    + time.thread_time() - t_cpu)
         if progress is not None:
             progress.update(sum(s.n_rows for s in segments))
 
@@ -515,6 +524,7 @@ def simulate_run(
 
     def _h2d_producer():
         try:
+            t_cpu0 = time.thread_time()
             for batch in iter_batches(
                 reads, predict_batch_size, config["seq_kmer"],
                 config["max_dna_len"],
@@ -527,6 +537,10 @@ def simulate_run(
                     jax.device_put(batch.chunk_off, device),
                     jax.device_put(batch.n_kmers, device),
                 ))
+            if timing:
+                # includes queue-put blocking (no CPU) only in wall terms;
+                # thread_time is pure batch-prep + device_put CPU
+                timers["h2d_cpu"] = time.thread_time() - t_cpu0
         except BaseException as exc:  # re-raised on the main thread
             h2d_err.append(exc)
         finally:
@@ -539,6 +553,7 @@ def simulate_run(
 
     first_batch = True
     t_loop0 = time.perf_counter()
+    t_loop0_cpu = time.thread_time()
     while True:
         item = h2d_queue.get()
         if item is None:
@@ -608,6 +623,7 @@ def simulate_run(
     if timing:
         # dispatch-loop duration (batch prep + H2D run on their own thread)
         timers["dispatch"] = time.perf_counter() - t_loop0
+        timers["dispatch_cpu"] = time.thread_time() - t_loop0_cpu
     h2d_thread.join()
     if h2d_err:
         raise h2d_err[0]
@@ -631,6 +647,8 @@ def simulate_run(
         for dec_bits, dec in state.get("event_decoder", {}).items():
             for k, v in dec.timers.items():
                 timers[f"event{dec_bits}_{k}"] = v
+        for k, v in getattr(writer, "timers", {}).items():
+            timers[f"writer_{k}"] = v
         logger.warning(
             "stage timers: "
             + ", ".join(

@@ -192,7 +192,7 @@ class EventWireDecoder:
         self._T = None  # set on first call (static shape)
         # stage accumulators (read by runtime/simulate's --timers report)
         self.timers = {"noise_dispatch": 0.0, "noise_wait": 0.0,
-                       "rebuild": 0.0}
+                       "rebuild": 0.0, "rebuild_cpu": 0.0}
 
     def __call__(self, outs, read_idx: np.ndarray, chunk_off: np.ndarray):
         """outs: the tier's device arrays; returns (flat_samples, counts)."""
@@ -459,6 +459,7 @@ class EventWireDecoder:
                 # gauss buffer exists at all.
                 coff = np.ascontiguousarray(chunk_off, np.int32)
                 _t = _time.perf_counter()
+                _tc = _time.thread_time()
                 total = lib.ulp_event_wire_decode_fused(
                     *common,
                     self._key_words[0], self._key_words[1],
@@ -466,6 +467,7 @@ class EventWireDecoder:
                     *tail,
                 )
                 self.timers["rebuild"] += _time.perf_counter() - _t
+                self.timers["rebuild_cpu"] += _time.thread_time() - _tc
             else:
                 _t = _time.perf_counter()
                 gauss = (np.ascontiguousarray(np.asarray(gauss_fut))
