@@ -55,25 +55,26 @@ def _cache_path() -> str:
 def _compile(out_path: str) -> bool:
     # -march=native + -fopenmp-simd let gcc vectorize the threefry rounds
     # and the branch-free uniform->normal transform (AVX-512 on this host);
-    # both flags drop out gracefully on toolchains that reject them.
-    extra = ["-march=native", "-fopenmp-simd"]
-    cmd = [
-        "g++", "-O3", *extra, "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", out_path, "-lz",
+    # zstd enables the batch record encoder's method 3. Each flag set drops
+    # out gracefully on toolchains/sysroots that reject it (the ladder
+    # retries without zstd, then without the ISA flags).
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+            "-o", out_path]
+    ladders = [
+        ["-march=native", "-fopenmp-simd", "-DS2S_HAVE_ZSTD", "-lz",
+         "-lzstd"],
+        ["-march=native", "-fopenmp-simd", "-lz"],
+        ["-lz"],
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    for extra in ladders:
         try:
-            subprocess.run([c for c in cmd if c not in extra],
-                           check=True, capture_output=True, timeout=120)
+            subprocess.run(base + extra, check=True, capture_output=True,
+                           timeout=120)
             return True
         except (subprocess.SubprocessError, FileNotFoundError) as exc:
-            logger.debug(
-                f"native codec build failed ({exc}); using numpy codec"
-            )
-            return False
+            last_exc = exc
+    logger.debug(f"native codec build failed ({last_exc}); using numpy codec")
+    return False
 
 
 def load_native() -> Optional[ctypes.CDLL]:
@@ -142,6 +143,18 @@ def load_native() -> Optional[ctypes.CDLL]:
             size_t, size_t, size_t, size_t, size_t, size_t, size_t,
             c_int, c_float, c_float, c_float, c_float, c_float, c_float,
             c_float, i16p, i32p,
+        ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.blow5_have_zstd.restype = c_int
+        lib.blow5_have_zstd.argtypes = []
+        lib.blow5_encode_batch.restype = size_t
+        lib.blow5_encode_batch.argtypes = [
+            i16p, i64p, u8p, i64p, f64p, f64p, i32p, u64p,
+            u8p, size_t, size_t,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            c_int, c_int, c_int, u8p, size_t,
         ]
         _LIB = lib
         logger.debug(f"native codec loaded: {path}")

@@ -8,8 +8,17 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <zlib.h>
+
+// zstd record compression for the batch encoder: compiled in only when
+// the build found zstd headers + library (build.py tries -DS2S_HAVE_ZSTD
+// -lzstd first and retries without on failure). Callers must check
+// blow5_have_zstd() before requesting method 3.
+#ifdef S2S_HAVE_ZSTD
+#include <zstd.h>
+#endif
 
 // The ULP-tier decode walk is split into a scalar integer symbol pass and
 // an explicit 16-lane AVX-512 f32 pass (bf16 expand, noise multiply-add,
@@ -869,5 +878,179 @@ size_t zlib_compress_buf(const uint8_t* in, size_t n, uint8_t* out,
 }
 
 size_t zlib_compress_bound(size_t n) { return (size_t)compressBound((uLong)n); }
+
+int blow5_have_zstd() {
+#ifdef S2S_HAVE_ZSTD
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// Whole-flush BLOW5 record encoder: assemble + svb-zd + compress + frame
+// every record of a flush in ONE native call, replacing the per-record
+// Python loop in io/slow5.py (struct.pack + ctypes svb call + zstd call
+// per record — measured ~1.2 s of host CPU per 10k-read bench flush
+// cycle, dominated by Python/ctypes churn rather than compression).
+// Record layout and field semantics are identical to _encode_record /
+// _press_record in io/slow5.py (the parity oracle — byte-for-byte for
+// zlib/none, decoded-equal for zstd where frame params may differ):
+//   u16 rid_len; rid; u32 read_group=0; f64 digitisation, offset, range,
+//   sampling_rate; u64 len_raw_signal (blob BYTE length under svb-zd,
+//   sample count otherwise); signal blob (u64 sample count + svb-zd
+//   stream) or raw int16; u64 chan_len; chan; f64 median_before;
+//   i32 read_number; u8 start_mux=0; u64 start_time.
+// Framing: u32 compressed record length before each record.
+//
+// signals: all reads' int16 samples concatenated; sample_off: (n+1) i64
+// prefix offsets. rid_bytes/rid_off: same layout for the ASCII read ids.
+// Per-read doubles/ints are parallel arrays; digitisation/range/rate and
+// the channel string are per-file constants. record_press: 0=none,
+// 1=zlib, 3=zstd; signal_press: 0=raw, 2=svb-zd. Returns total bytes
+// written to out, or SIZE_MAX on any error (cap overflow, bad method,
+// zstd requested without S2S_HAVE_ZSTD) — the caller falls back to the
+// Python per-record path.
+size_t blow5_encode_batch(
+    const int16_t* signals, const int64_t* sample_off,
+    const uint8_t* rid_bytes, const int64_t* rid_off,
+    const double* offset_vals, const double* median_befores,
+    const int32_t* read_numbers, const uint64_t* start_times,
+    const uint8_t* chan, size_t chan_len, size_t n,
+    double digitisation, double range_val, double sampling_rate,
+    int record_press, int signal_press, int level,
+    uint8_t* out, size_t out_cap) {
+  if (record_press != 0 && record_press != 1 && record_press != 3)
+    return (size_t)-1;
+  if (signal_press != 0 && signal_press != 2) return (size_t)-1;
+#ifndef S2S_HAVE_ZSTD
+  if (record_press == 3) return (size_t)-1;
+#endif
+
+  // Per-record scratch for the uncompressed record, grown to the batch max.
+  size_t rec_cap = 0;
+  for (size_t i = 0; i < n; ++i) {
+    const size_t nsig = (size_t)(sample_off[i + 1] - sample_off[i]);
+    const size_t rid_len = (size_t)(rid_off[i + 1] - rid_off[i]);
+    const size_t sig_bytes =
+        (signal_press == 2) ? (16 + svb_zd_max_size(nsig)) : (8 + 2 * nsig);
+    const size_t r = 2 + rid_len + 36 + sig_bytes + 8 + chan_len + 21;
+    if (r > rec_cap) rec_cap = r;
+  }
+  uint8_t* rec = (uint8_t*)std::malloc(rec_cap ? rec_cap : 1);
+  if (!rec) return (size_t)-1;
+
+#ifdef S2S_HAVE_ZSTD
+  ZSTD_CCtx* cctx = nullptr;
+  if (record_press == 3) {
+    cctx = ZSTD_createCCtx();
+    if (!cctx) {
+      std::free(rec);
+      return (size_t)-1;
+    }
+  }
+#endif
+
+  size_t pos = 0;
+  bool ok = true;
+  for (size_t i = 0; i < n && ok; ++i) {
+    const size_t nsig = (size_t)(sample_off[i + 1] - sample_off[i]);
+    const size_t rid_len = (size_t)(rid_off[i + 1] - rid_off[i]);
+    uint8_t* p = rec;
+    const uint16_t rl16 = (uint16_t)rid_len;
+    std::memcpy(p, &rl16, 2);
+    p += 2;
+    std::memcpy(p, rid_bytes + rid_off[i], rid_len);
+    p += rid_len;
+    const uint32_t rg = 0;
+    std::memcpy(p, &rg, 4);
+    p += 4;
+    std::memcpy(p, &digitisation, 8);
+    p += 8;
+    std::memcpy(p, &offset_vals[i], 8);
+    p += 8;
+    std::memcpy(p, &range_val, 8);
+    p += 8;
+    std::memcpy(p, &sampling_rate, 8);
+    p += 8;
+    const int16_t* sig = signals + sample_off[i];
+    if (signal_press == 2) {
+      // u64 blob_len; blob = u64 sample count + svb-zd stream
+      uint8_t* blob_len_at = p;
+      p += 8;
+      const uint64_t cnt = (uint64_t)nsig;
+      std::memcpy(p, &cnt, 8);
+      p += 8;
+      const size_t svb_n = svb_zd_encode(sig, nsig, p);
+      p += svb_n;
+      const uint64_t blob_len = 8 + (uint64_t)svb_n;
+      std::memcpy(blob_len_at, &blob_len, 8);
+    } else {
+      const uint64_t cnt = (uint64_t)nsig;
+      std::memcpy(p, &cnt, 8);
+      p += 8;
+      std::memcpy(p, sig, 2 * nsig);
+      p += 2 * nsig;
+    }
+    const uint64_t cl = (uint64_t)chan_len;
+    std::memcpy(p, &cl, 8);
+    p += 8;
+    std::memcpy(p, chan, chan_len);
+    p += chan_len;
+    std::memcpy(p, &median_befores[i], 8);
+    p += 8;
+    std::memcpy(p, &read_numbers[i], 4);
+    p += 4;
+    *p++ = 0;  // start_mux
+    std::memcpy(p, &start_times[i], 8);
+    p += 8;
+    const size_t rec_n = (size_t)(p - rec);
+
+    if (pos + 4 > out_cap) {
+      ok = false;
+      break;
+    }
+    uint8_t* dst = out + pos + 4;
+    const size_t dst_cap = out_cap - pos - 4;
+    size_t comp_n;
+    if (record_press == 0) {
+      if (rec_n > dst_cap) {
+        ok = false;
+        break;
+      }
+      std::memcpy(dst, rec, rec_n);
+      comp_n = rec_n;
+    } else if (record_press == 1) {
+      uLongf out_len = (uLongf)dst_cap;
+      if (compress2(dst, &out_len, rec, (uLong)rec_n, level) != Z_OK) {
+        ok = false;
+        break;
+      }
+      comp_n = (size_t)out_len;
+    } else {
+#ifdef S2S_HAVE_ZSTD
+      const size_t zn =
+          ZSTD_compressCCtx(cctx, dst, dst_cap, rec, rec_n, level);
+      if (ZSTD_isError(zn)) {
+        ok = false;
+        break;
+      }
+      comp_n = zn;
+#else
+      ok = false;
+      break;
+#endif
+    }
+    const uint32_t frame = (uint32_t)comp_n;
+    std::memcpy(out + pos, &frame, 4);
+    pos += 4 + comp_n;
+  }
+
+#ifdef S2S_HAVE_ZSTD
+  if (cctx) ZSTD_freeCCtx(cctx);
+#endif
+  std::free(rec);
+  return ok ? pos : (size_t)-1;
+}
 
 }  // extern "C"

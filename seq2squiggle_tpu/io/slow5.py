@@ -404,6 +404,11 @@ class Slow5FileWriter:
         self.signal_press = signal_press if self.binary else SIGPRESS_NONE
         self._fh = None
         self._header_written = False
+        # Grow-only output scratch reused across write_records_batch
+        # flushes: a fresh np.empty per flush costs ~0.1 s/flush in
+        # first-touch page faults alone (measured), dwarfing the actual
+        # encode.
+        self._batch_buf: Optional[np.ndarray] = None
 
     def open(self, header_attrs: Dict[str, object]):
         exists = os.path.exists(self.filename)
@@ -470,6 +475,94 @@ class Slow5FileWriter:
                 str(int(aux["start_time"])),
             ]
             self._fh.write(("\t".join(fields) + "\n").encode("ascii"))
+
+    def write_records_batch(
+        self,
+        read_ids: List[str],
+        signals: List[np.ndarray],
+        digitisation: float,
+        offsets: List[float],
+        range_val: float,
+        sampling_rate: float,
+        median_befores: List[float],
+        read_numbers: List[int],
+        start_times: List[int],
+        channel_number: str = "0",
+    ) -> bool:
+        """Encode + frame + compress a whole flush of records in ONE native
+        call (blow5_encode_batch in native/slow5_codec.cc) — the per-record
+        Python loop costs ~1.2 s of host CPU per 10k-read bench run in
+        struct.pack/ctypes/zstd-call churn alone. Byte layout is identical
+        to write_record's (the C++ assembles the same record bytes; zlib
+        output is bit-identical, zstd frames may differ in header params
+        but decode to the same records). Returns False when the native
+        path is unavailable (ASCII output, no toolchain, zstd requested
+        but not compiled in) — the caller then writes per record."""
+        if not self.binary or not read_ids:
+            return not read_ids and self.binary
+        lib = _native()
+        if lib is None or not hasattr(lib, "blow5_encode_batch"):
+            return False
+        if self.record_press == PRESS_ZSTD and not lib.blow5_have_zstd():
+            return False
+        if self.signal_press not in (SIGPRESS_NONE, SIGPRESS_SVB_ZD):
+            return False
+        import ctypes
+
+        n = len(read_ids)
+        flat = np.ascontiguousarray(
+            np.concatenate([np.asarray(s, "<i2").ravel() for s in signals])
+        )
+        sample_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in signals], out=sample_off[1:])
+        rid_bytes = np.frombuffer(
+            "".join(read_ids).encode("ascii"), np.uint8
+        ).copy()
+        rid_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(r) for r in read_ids], out=rid_off[1:])
+        chan = np.frombuffer(channel_number.encode("ascii"), np.uint8).copy()
+
+        # Output capacity: per-record worst case (svb-zd expansion bound)
+        # plus a margin covering both zlib's and zstd's compressBound
+        # overhead (~src/256 + constants; rec//64 + 512 dominates both).
+        nsig = np.diff(sample_off)
+        if self.signal_press == SIGPRESS_SVB_ZD:
+            sig_bytes = 16 + (nsig + 3) // 4 + 4 * nsig
+        else:
+            sig_bytes = 8 + 2 * nsig
+        rec = 2 + np.diff(rid_off) + 36 + sig_bytes + 8 + len(chan) + 21
+        cap = int(np.sum(4 + rec + rec // 64 + 512))
+        if self._batch_buf is None or self._batch_buf.size < cap:
+            self._batch_buf = np.empty(cap, np.uint8)
+        out = self._batch_buf
+
+        offs = np.ascontiguousarray(offsets, np.float64)
+        mbs = np.ascontiguousarray(median_befores, np.float64)
+        rns = np.ascontiguousarray(read_numbers, np.int32)
+        sts = np.ascontiguousarray(start_times, np.uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        pos = lib.blow5_encode_batch(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            sample_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rid_bytes.ctypes.data_as(u8p),
+            rid_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            mbs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            rns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            chan.ctypes.data_as(u8p), len(chan), n,
+            float(digitisation), float(range_val), float(sampling_rate),
+            int(self.record_press), int(self.signal_press), 1,
+            out.ctypes.data_as(u8p), cap,
+        )
+        if pos in (0, 2**64 - 1) or pos > cap:
+            logger.warning(
+                "native blow5_encode_batch failed; falling back to the "
+                "per-record writer for this flush"
+            )
+            return False
+        self._fh.write(memoryview(out)[:pos])
+        return True
 
     def close(self):
         if self._fh is None:

@@ -158,6 +158,12 @@ class BLOW5Writer(_WriterBase):
         if not self._opened:
             self._file.open(self._header_attrs())
             self._opened = True
+        # Collect the flush into parallel arrays first (metadata draws stay
+        # in the exact per-read order of the original loop, so seeded
+        # output is unchanged), then encode every record in one native
+        # call; the per-record path below is the fallback and reuses the
+        # already-drawn metadata so RNG state never diverges between paths.
+        ids, sigs, mbs, offs, rns, sts = [], [], [], [], [], []
         for read_id, signal in signals.items():
             signal = np.asarray(signal)
             if signal.size == 0:
@@ -165,24 +171,33 @@ class BLOW5Writer(_WriterBase):
                 continue
             median_before_value, offset_value = self._per_read_metadata()
             raw = self._prepare_signal(signal)
-            aux = {
-                "channel_number": "0",
-                "median_before": median_before_value,
-                "read_number": self._global_read_index(),
-                "start_mux": 0,
-                "start_time": self.start_time,
-            }
-            self._file.write_record(
-                self._read_id(read_id),
-                raw,
-                self.digitisation,
-                offset_value,
-                self.signal_range,
-                self.sample_rate,
-                aux,
-            )
+            ids.append(self._read_id(read_id))
+            sigs.append(raw)
+            mbs.append(median_before_value)
+            offs.append(offset_value)
+            rns.append(self._global_read_index())
+            sts.append(self.start_time)
             self.start_time += int(len(raw))
             self.read_counter += 1
+        if not ids:
+            return
+        if self._file.write_records_batch(
+            ids, sigs, self.digitisation, offs, self.signal_range,
+            self.sample_rate, mbs, rns, sts,
+        ):
+            return
+        for i, rid in enumerate(ids):
+            aux = {
+                "channel_number": "0",
+                "median_before": mbs[i],
+                "read_number": rns[i],
+                "start_mux": 0,
+                "start_time": sts[i],
+            }
+            self._file.write_record(
+                rid, sigs[i], self.digitisation, offs[i],
+                self.signal_range, self.sample_rate, aux,
+            )
 
     def close(self):
         if self._opened:
