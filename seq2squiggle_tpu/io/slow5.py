@@ -488,6 +488,8 @@ class Slow5FileWriter:
         read_numbers: List[int],
         start_times: List[int],
         channel_number: str = "0",
+        flat: Optional[np.ndarray] = None,
+        sample_off: Optional[np.ndarray] = None,
     ) -> bool:
         """Encode + frame + compress a whole flush of records in ONE native
         call (blow5_encode_batch in native/slow5_codec.cc) — the per-record
@@ -510,11 +512,15 @@ class Slow5FileWriter:
         import ctypes
 
         n = len(read_ids)
-        flat = np.ascontiguousarray(
-            np.concatenate([np.asarray(s, "<i2").ravel() for s in signals])
-        )
-        sample_off = np.zeros(n + 1, np.int64)
-        np.cumsum([len(s) for s in signals], out=sample_off[1:])
+        if flat is None:
+            flat = np.ascontiguousarray(
+                np.concatenate([np.asarray(s, "<i2").ravel() for s in signals])
+            )
+            sample_off = np.zeros(n + 1, np.int64)
+            np.cumsum([len(s) for s in signals], out=sample_off[1:])
+        else:
+            flat = np.ascontiguousarray(flat, "<i2")
+            sample_off = np.ascontiguousarray(sample_off, np.int64)
         rid_bytes = np.frombuffer(
             "".join(read_ids).encode("ascii"), np.uint8
         ).copy()

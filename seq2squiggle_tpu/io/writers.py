@@ -108,6 +108,17 @@ class _WriterBase:
     def write_batch(self, signals: Dict[str, np.ndarray]):
         raise NotImplementedError
 
+    def write_flat(self, read_ids, flat: np.ndarray, sample_off: np.ndarray):
+        """Flat-layout entry point: all reads' samples concatenated + (n+1)
+        prefix offsets (the layout the streaming exporter already holds).
+        Base implementation slices into the dict form; BLOW5 overrides with
+        a zero-copy native path."""
+        sample_off = np.asarray(sample_off)
+        self.write_batch({
+            rid: flat[sample_off[i]:sample_off[i + 1]]
+            for i, rid in enumerate(read_ids)
+        })
+
     def close(self):
         pass
 
@@ -196,6 +207,58 @@ class BLOW5Writer(_WriterBase):
             }
             self._file.write_record(
                 rid, sigs[i], self.digitisation, offs[i],
+                self.signal_range, self.sample_rate, aux,
+            )
+
+    def write_flat(self, read_ids, flat: np.ndarray, sample_off: np.ndarray):
+        """Native fast path for the exporter's flat layout: per-read
+        metadata draws stay in stream order, signals are NOT re-sliced or
+        re-concatenated — the flat buffer goes straight to the batch
+        encoder. RNA (per-read reversal) and float pA input fall back to
+        the per-read path."""
+        flat = np.asarray(flat)
+        if self.is_rna or flat.dtype != np.int16 or not self._file.binary:
+            return super().write_flat(read_ids, flat, sample_off)
+        if not self._opened:
+            self._file.open(self._header_attrs())
+            self._opened = True
+        lens = np.diff(np.asarray(sample_off, np.int64))
+        ids, mbs, offs, rns, sts, keep_lens = [], [], [], [], [], []
+        for i, rid in enumerate(read_ids):
+            if lens[i] == 0:
+                logger.debug(f"Empty signal, skipping {rid}")
+                continue
+            median_before_value, offset_value = self._per_read_metadata()
+            ids.append(self._read_id(rid))
+            mbs.append(median_before_value)
+            offs.append(offset_value)
+            rns.append(self._global_read_index())
+            sts.append(self.start_time)
+            keep_lens.append(int(lens[i]))
+            self.start_time += int(lens[i])
+            self.read_counter += 1
+        if not ids:
+            return
+        # empty reads contribute no samples, so the kept reads' prefix
+        # offsets still index the original flat buffer exactly
+        off2 = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(keep_lens, out=off2[1:])
+        if self._file.write_records_batch(
+            ids, None, self.digitisation, offs, self.signal_range,
+            self.sample_rate, mbs, rns, sts,
+            flat=flat, sample_off=off2,
+        ):
+            return
+        for i, rid in enumerate(ids):
+            aux = {
+                "channel_number": "0",
+                "median_before": mbs[i],
+                "read_number": rns[i],
+                "start_mux": 0,
+                "start_time": sts[i],
+            }
+            self._file.write_record(
+                rid, flat[off2[i]:off2[i + 1]], self.digitisation, offs[i],
                 self.signal_range, self.sample_rate, aux,
             )
 

@@ -100,7 +100,7 @@ def _attn_headloop(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
 
 
 def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
-                 L_real):
+                 L_real, ablate: str = ""):
     """Head-PACKED attention: all heads ride one matmul per stage.
 
     The per-head loop's matmuls contract (scores) or output (ctx) only
@@ -158,36 +158,45 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
     qhat = jnp.concatenate([q3] * n_head, axis=1) * qmask  # (TB, HL, D)
 
     # Cauchy–Schwarz shift: per-head ‖q_t‖ · max_s ‖k_s‖, pre-tempered
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    qn2 = jnp.dot(qf * qf, hmask_f,
-                  preferred_element_type=jnp.float32)   # (TB*L, H)
-    kn2 = jnp.dot(kf * kf, hmask_f,
-                  preferred_element_type=jnp.float32)   # (TB*L, H)
-    kn2r = kn2.reshape(TB, L, n_head)
-    if L_real != L:
-        # padded key rows must not inflate the per-head ‖k‖ max
-        krow = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
-        kn2r = jnp.where(krow < L_real, kn2r, jnp.float32(0))
-    kn2m = jnp.max(kn2r, axis=1, keepdims=True)
-    qn = jnp.sqrt(qn2).reshape(TB, L, n_head)
-    kn = jnp.sqrt(kn2m)                                 # (TB, 1, H)
-    qk = qn * kn * inv_temp                             # (TB, L, H)
-    # fold (TB, L, H) -> (TB, HL, 1): tile H× down sublanes (identical
-    # pieces share layout offsets), keep head h's lane in row block h,
-    # lane-reduce. Replaces the offset-mismatched 1-lane concat.
-    qk_t = jnp.concatenate([qk] * n_head, axis=1)       # (TB, HL, H)
-    rh = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 0) // L
-    rc = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 1)
-    rsel = (rh == rc).astype(jnp.float32)               # (HL, H)
-    shift = jnp.sum(qk_t * rsel, axis=-1, keepdims=True)  # (TB, HL, 1)
+    if ablate == "noshift":  # profiling-only: cost of the shift machinery
+        shift = jnp.float32(0.0)
+    else:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qn2 = jnp.dot(qf * qf, hmask_f,
+                      preferred_element_type=jnp.float32)   # (TB*L, H)
+        kn2 = jnp.dot(kf * kf, hmask_f,
+                      preferred_element_type=jnp.float32)   # (TB*L, H)
+        kn2r = kn2.reshape(TB, L, n_head)
+        if L_real != L:
+            # padded key rows must not inflate the per-head ‖k‖ max
+            krow = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+            kn2r = jnp.where(krow < L_real, kn2r, jnp.float32(0))
+        kn2m = jnp.max(kn2r, axis=1, keepdims=True)
+        qn = jnp.sqrt(qn2).reshape(TB, L, n_head)
+        kn = jnp.sqrt(kn2m)                                 # (TB, 1, H)
+        qk = qn * kn * inv_temp                             # (TB, L, H)
+        # fold (TB, L, H) -> (TB, HL, 1): tile H× down sublanes (identical
+        # pieces share layout offsets), keep head h's lane in row block h,
+        # lane-reduce. Replaces the offset-mismatched 1-lane concat.
+        qk_t = jnp.concatenate([qk] * n_head, axis=1)       # (TB, HL, H)
+        rh = jax.lax.broadcasted_iota(jnp.int32,
+                                      (n_head * L, n_head), 0) // L
+        rc = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 1)
+        rsel = (rh == rc).astype(jnp.float32)               # (HL, H)
+        shift = jnp.sum(qk_t * rsel, axis=-1, keepdims=True)  # (TB, HL, 1)
 
     scores = jax.lax.dot_general(
         qhat, k3, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (TB, HL, L) f32, un-tempered
-    e = jnp.exp(scores * inv_temp - shift)
-    if L_real != L:
+    if ablate == "noexp":  # profiling-only: cost of the exp itself
+        e = scores * inv_temp - shift
+    elif ablate == "bf16exp":  # profiling-only: exp at compute dtype
+        e = jnp.exp((scores * inv_temp - shift).astype(compute_dtype))
+    else:
+        e = jnp.exp(scores * inv_temp - shift)
+    if L_real != L and ablate != "nomask":
         # zero padded key columns (their k rows are zeros in block 1 but
         # LN output in later fused blocks — mask unconditionally)
         kcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
@@ -209,6 +218,8 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
         hm = hmask_f[:, h].reshape(1, 1, D)
         num_c = num_c + num[:, h * L:(h + 1) * L, :] * hm
         den_c = den_c + den[:, h * L:(h + 1) * L, :] * hm
+    if ablate == "noden":  # profiling-only: cost of den matmul + divide
+        return num_c.astype(compute_dtype).reshape(TB * L, D)
     # The Cauchy–Schwarz bound can exceed the true row max; if it does by
     # > ~88 nats (f32 exp underflow) every exp in the row flushes to 0 and
     # the divide would be 0/0. Clamp the denominator so that (out-of-
@@ -228,6 +239,7 @@ def _apply_block(
     compute_dtype,
     packed: bool,
     L_real: int,
+    ablate: str = "",
 ):
     """One post-LN attention+FFN block on a VMEM-resident (TB*L, D) tile.
 
@@ -254,9 +266,11 @@ def _apply_block(
     k = proj(wk, bk)
     v = proj(wv, bv)
 
-    if packed:
+    if ablate == "noattn":  # profiling-only: proj + FFN + LN floor
+        ctx = q
+    elif packed:
         ctx = _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp,
-                           compute_dtype, L_real)
+                           compute_dtype, L_real, ablate)
     else:
         ctx = _attn_headloop(q, k, v, TB, L, d_k, n_head, inv_temp,
                              compute_dtype)
@@ -265,6 +279,8 @@ def _apply_block(
                 preferred_element_type=jnp.float32)
     o = o + bf[:].astype(jnp.float32)
     h1 = _layer_norm(o + x2.astype(jnp.float32), ln1s[:], ln1b[:])
+    if ablate == "noffn":  # profiling-only: cost of the FFN stack
+        return h1
     h1c = h1.astype(compute_dtype)
 
     f = jnp.dot(h1c, w1[:].astype(compute_dtype),
@@ -284,6 +300,7 @@ def _block_kernel(
     packed: bool,
     n_blocks: int = 1,
     L_real: int = 0,
+    ablate: str = "",
 ):
     """Run n_blocks sequential FFT blocks on one VMEM tile.
 
@@ -299,7 +316,8 @@ def _block_kernel(
     x2 = x_ref[:].astype(compute_dtype).reshape(TB * L, D)
     for b in range(n_blocks):
         w = refs[b * 16:(b + 1) * 16]
-        h = _apply_block(x2, w, TB, L, n_head, compute_dtype, packed, lr)
+        h = _apply_block(x2, w, TB, L, n_head, compute_dtype, packed, lr,
+                         ablate)
         x2 = h.astype(compute_dtype)  # inter-block cast = the HBM round trip
     out_ref[:] = h.astype(out_ref.dtype).reshape(TB, L, D)
 
@@ -341,7 +359,8 @@ def _tile_b_pair(L: int, packed: bool) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "interpret", "tile_b", "packed")
+    jax.jit,
+    static_argnames=("n_head", "interpret", "tile_b", "packed", "ablate"),
 )
 def fused_fft_block(
     x: jnp.ndarray,
@@ -350,6 +369,7 @@ def fused_fft_block(
     interpret: bool = False,
     tile_b: int = 0,
     packed: bool | None = None,
+    ablate: str = "",
 ) -> jnp.ndarray:
     """Apply one post-LN attention+FFN block via the fused kernel.
 
@@ -377,7 +397,7 @@ def fused_fft_block(
     weights = [_get(block_params, path) for path in _WEIGHT_FIELDS]
     kernel = functools.partial(
         _block_kernel, n_head=n_head, compute_dtype=x.dtype, packed=packed,
-        L_real=L,
+        L_real=L, ablate=ablate,
     )
 
     grid = (Bp // TB,)

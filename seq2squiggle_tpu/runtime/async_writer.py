@@ -60,7 +60,10 @@ class AsyncWriter:
                     import time
 
                     t, tc = time.perf_counter(), time.thread_time()
-                    self._writer.write_batch(item)
+                    if isinstance(item, tuple) and item[0] == "__flat__":
+                        self._writer.write_flat(item[1], item[2], item[3])
+                    else:
+                        self._writer.write_batch(item)
                     self.timers["write"] += time.perf_counter() - t
                     self.timers["write_cpu"] += time.thread_time() - tc
             except BaseException as exc:  # re-raised on the caller thread
@@ -76,6 +79,19 @@ class AsyncWriter:
     def write_batch(self, reads: Dict[str, np.ndarray]):
         self._check()
         self._queue.put(reads)
+
+    def write_flat(self, read_ids, flat: np.ndarray, sample_off: np.ndarray):
+        """Flat-layout enqueue (see writers._WriterBase.write_flat). Falls
+        back to the dict form when the wrapped writer lacks a flat path."""
+        self._check()
+        if hasattr(self._writer, "write_flat"):
+            self._queue.put(("__flat__", read_ids, flat, sample_off))
+            return
+        sample_off = np.asarray(sample_off)
+        self._queue.put({
+            rid: flat[sample_off[i]:sample_off[i + 1]]
+            for i, rid in enumerate(read_ids)
+        })
 
     def close(self):
         self._queue.put(_SENTINEL)

@@ -85,6 +85,35 @@ class StreamingExporter:
         if not self._ready:
             return
         ready_set = set(self._ready)
+        if getattr(self.writer, "write_flat", None) is not None:
+            # Flat path: ONE concatenation of every ready read's pieces +
+            # prefix offsets, handed to the writer as-is (the BLOW5 batch
+            # encoder consumes this layout directly — no per-read arrays,
+            # no dict, no second concat in the writer).
+            ids: List[str] = []
+            pieces: List[np.ndarray] = []
+            lens: List[int] = []
+            remaining_order = []
+            for read_id in self._order:
+                if read_id in ready_set:
+                    ps = self._pieces.pop(read_id)
+                    ids.append(read_id)
+                    pieces.extend(ps)
+                    lens.append(sum(int(p.size) for p in ps))
+                else:
+                    remaining_order.append(read_id)
+            self._order = remaining_order
+            self._ready = []
+            self.total_reads += len(ids)
+            flat = (np.concatenate(pieces) if pieces
+                    else np.zeros(0, np.int16))
+            off = np.zeros(len(ids) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            self.writer.write_flat(ids, flat, off)
+            logger.debug(
+                f"Flushed {len(ids)} reads to {self.writer.filename}"
+            )
+            return
         out: Dict[str, np.ndarray] = {}
         remaining_order = []
         for read_id in self._order:
