@@ -157,7 +157,12 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
     qmask = (rowh == colh).astype(compute_dtype)        # (HL, D)
     qhat = jnp.concatenate([q3] * n_head, axis=1) * qmask  # (TB, HL, D)
 
-    # Cauchy–Schwarz shift: per-head ‖q_t‖ · max_s ‖k_s‖, pre-tempered
+    # Cauchy–Schwarz shift: per-head ‖q_t‖ · max_s ‖k_s‖, pre-tempered.
+    # (An alternative fold — per-row norms straight off qhat via an f32
+    # square + lane-reduce and a per-sample global k max — measured
+    # 13.3 ms/2blocks vs this fold's 11.1 on hardware: the (HL, D) f32
+    # cast + reduce passes cost more than the (L, H)-sized machinery
+    # below, so the tile-concat fold stays.)
     if ablate == "noshift":  # profiling-only: cost of the shift machinery
         shift = jnp.float32(0.0)
     else:
@@ -202,23 +207,30 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
         kcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
         e = jnp.where(kcol < L_real, e, jnp.float32(0))
     e = e.astype(compute_dtype)
-    num = jax.lax.dot_general(
-        e, v3, (((2,), (1,)), ((0,), (0,))),
+    # num and den ride ONE matmul: the value operand is padded to a full
+    # 128-lane MXU output tile with a ones column at lane D, so the
+    # softmax denominator (e @ 1) lands in that lane of the same product.
+    # A separate den = e @ ones_(L,1) dot used 1 of 128 output lanes and
+    # measured 3.6 ms/2blocks on hardware (profile_attn_breakdown.py) —
+    # the padded dot costs the same MXU passes as the D=64 num dot alone.
+    # f32 accumulation order over L is unchanged, so den is bit-identical.
+    EXT = max(128, ((D + 1 + 127) // 128) * 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, L, EXT - D), 2)
+    ones_col = (lane == 0).astype(compute_dtype)
+    v_ext = jnp.concatenate([v3, ones_col], axis=2)     # (TB, L, EXT)
+    num_ext = jax.lax.dot_general(
+        e, v_ext, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (TB, HL, D)
-    ones_v = jnp.ones((TB, L, 1), compute_dtype)
-    den = jax.lax.dot_general(
-        e, ones_v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TB, HL, 1)
+    )  # (TB, HL, EXT): lanes [0,D) = num, lane D = den
 
     num_c = jnp.zeros((TB, L, D), jnp.float32)
     den_c = jnp.zeros((TB, L, D), jnp.float32)
     for h in range(n_head):
         hm = hmask_f[:, h].reshape(1, 1, D)
-        num_c = num_c + num[:, h * L:(h + 1) * L, :] * hm
-        den_c = den_c + den[:, h * L:(h + 1) * L, :] * hm
-    if ablate == "noden":  # profiling-only: cost of den matmul + divide
+        nm = num_ext[:, h * L:(h + 1) * L, :]
+        num_c = num_c + nm[:, :, :D] * hm
+        den_c = den_c + nm[:, :, D:D + 1] * hm
+    if ablate == "noden":  # profiling-only: cost of den collapse + divide
         return num_c.astype(compute_dtype).reshape(TB * L, D)
     # The Cauchy–Schwarz bound can exceed the true row max; if it does by
     # > ~88 nats (f32 exp underflow) every exp in the row flushes to 0 and
