@@ -123,6 +123,9 @@ def simulate_run(
     trace_dir enables a jax.profiler trace of the whole loop (device + host
     timelines, viewable in XProf/TensorBoard) — profiling support the
     reference lacks entirely (SURVEY section 5)."""
+    from ..utils import tune_host_allocator
+
+    tune_host_allocator()  # before the pipeline threads spawn
     profile_dict = get_profile(profile)
     profile_dict = update_profile(
         profile_dict,
