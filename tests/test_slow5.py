@@ -154,3 +154,77 @@ def test_empty_signal_skipped(tmp_path):
     writer.close()
     _, records = read_slow5(path)
     assert len(records) == 1
+
+
+@pytest.mark.parametrize("press", ["zstd", "zlib", "none"])
+def test_batch_encoder_matches_per_record(tmp_path, press):
+    """The whole-flush native encoder (blow5_encode_batch) and the
+    per-record Python path produce byte-identical files for every record
+    compression method — write_records_batch is forced on one file and
+    bypassed on the other."""
+    from seq2squiggle_tpu.io.slow5 import Slow5FileWriter, PRESS_ZSTD
+
+    rng = np.random.default_rng(3)
+    n = 17
+    sigs = [rng.integers(-3000, 3000, size=int(rng.integers(1, 4000)),
+                         dtype=np.int16) for _ in range(n)]
+    ids = [f"00000000-0000-0000-0000-{i + 1:012d}" for i in range(n)]
+    offs = rng.normal(10, 2, n).tolist()
+    mbs = rng.normal(200, 20, n).tolist()
+    rns = list(range(n))
+    sts = np.cumsum([0] + [len(s) for s in sigs[:-1]]).tolist()
+    hdr = {"run_id": "r0"}
+    from seq2squiggle_tpu.io.writers import SLOW5_PRESS
+
+    pa, pb = str(tmp_path / "a.blow5"), str(tmp_path / "b.blow5")
+    wa = Slow5FileWriter(pa, record_press=SLOW5_PRESS[press])
+    wa.open(hdr)
+    used_native = wa.write_records_batch(
+        ids, sigs, 8192.0, offs, 1500.0, 4000.0, mbs, rns, sts)
+    wa.close()
+    wb = Slow5FileWriter(pb, record_press=SLOW5_PRESS[press])
+    wb.open(hdr)
+    for i in range(n):
+        wb.write_record(ids[i], sigs[i], 8192.0, offs[i], 1500.0, 4000.0,
+                        {"channel_number": "0", "median_before": mbs[i],
+                         "read_number": rns[i], "start_mux": 0,
+                         "start_time": sts[i]})
+    wb.close()
+    if not used_native:
+        pytest.skip("native batch encoder unavailable in this environment")
+    with open(pa, "rb") as fa, open(pb, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_write_flat_matches_write_batch(tmp_path):
+    """BLOW5Writer.write_flat (the exporter's flat layout) produces the
+    same records as write_batch on the same reads, including empty-read
+    skipping and identical metadata RNG draw order."""
+    profile = get_profile("dna-r10-min")
+    rng = np.random.default_rng(5)
+    sigs = {f"r{i}": rng.integers(-2000, 2000,
+                                  size=(0 if i == 2 else 500 + i),
+                                  dtype=np.int16).astype(np.int16)
+            for i in range(5)}
+    pa, pb = str(tmp_path / "a.blow5"), str(tmp_path / "b.blow5")
+    wa = BLOW5Writer(pa, profile, False, "dna-r10-min", False,
+                     np.random.default_rng(7))
+    ids = list(sigs)
+    flat = np.concatenate([sigs[r] for r in ids])
+    off = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum([sigs[r].size for r in ids], out=off[1:])
+    wa.write_flat(ids, flat, off)
+    wa.close()
+    wb = BLOW5Writer(pb, profile, False, "dna-r10-min", False,
+                     np.random.default_rng(7))
+    wb.write_batch(sigs)
+    wb.close()
+    _, ra = read_slow5(pa)
+    _, rb = read_slow5(pb)
+    assert len(ra) == len(rb) == 4  # the empty read is skipped
+    for x, y in zip(ra, rb):
+        for key in y:
+            if key == "signal":
+                np.testing.assert_array_equal(x[key], y[key])
+            else:
+                assert x[key] == y[key], key
