@@ -409,6 +409,9 @@ class Slow5FileWriter:
         # first-touch page faults alone (measured), dwarfing the actual
         # encode.
         self._batch_buf: Optional[np.ndarray] = None
+        # batch-encode stage CPU accumulators (prep/native/file-write),
+        # surfaced through the pipeline's stage-timer report
+        self.timers = {"prep_cpu": 0.0, "encode_cpu": 0.0, "fwrite_cpu": 0.0}
 
     def open(self, header_attrs: Dict[str, object]):
         exists = os.path.exists(self.filename)
@@ -510,7 +513,9 @@ class Slow5FileWriter:
         if self.signal_press not in (SIGPRESS_NONE, SIGPRESS_SVB_ZD):
             return False
         import ctypes
+        import time as _time
 
+        _tc = _time.thread_time()
         n = len(read_ids)
         if flat is None:
             flat = np.ascontiguousarray(
@@ -547,6 +552,8 @@ class Slow5FileWriter:
         rns = np.ascontiguousarray(read_numbers, np.int32)
         sts = np.ascontiguousarray(start_times, np.uint64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        self.timers["prep_cpu"] += _time.thread_time() - _tc
+        _tc = _time.thread_time()
         pos = lib.blow5_encode_batch(
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             sample_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -561,13 +568,16 @@ class Slow5FileWriter:
             int(self.record_press), int(self.signal_press), 1,
             out.ctypes.data_as(u8p), cap,
         )
+        self.timers["encode_cpu"] += _time.thread_time() - _tc
         if pos in (0, 2**64 - 1) or pos > cap:
             logger.warning(
                 "native blow5_encode_batch failed; falling back to the "
                 "per-record writer for this flush"
             )
             return False
+        _tc = _time.thread_time()
         self._fh.write(memoryview(out)[:pos])
+        self.timers["fwrite_cpu"] += _time.thread_time() - _tc
         return True
 
     def close(self):

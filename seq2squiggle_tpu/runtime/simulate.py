@@ -652,6 +652,10 @@ def simulate_run(
                 timers[f"event{dec_bits}_{k}"] = v
         for k, v in getattr(writer, "timers", {}).items():
             timers[f"writer_{k}"] = v
+        # nested BLOW5 batch-encode stage split (prep/native/file-write)
+        inner = getattr(getattr(writer, "_writer", writer), "_file", None)
+        for k, v in getattr(inner, "timers", {}).items():
+            timers[f"slow5_{k}"] = v
         logger.warning(
             "stage timers: "
             + ", ".join(

@@ -84,6 +84,15 @@ def tune_host_allocator():
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
         libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
         libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        # Disable transparent huge pages for this process: with the TPU
+        # runtime resident, THP direct compaction turns the first touch of
+        # each fresh tens-of-MB flush buffer into a multi-second stall
+        # (measured 1.5-2.7 s per 55 MB vs 0.04 s with THP off — the
+        # pipeline at full rate allocates one such buffer per flush). The
+        # TLB cost of 4K pages on these short-lived streaming buffers is
+        # noise by comparison.
+        PR_SET_THP_DISABLE = 41
+        libc.prctl(PR_SET_THP_DISABLE, 1, 0, 0, 0)
     except (OSError, AttributeError) as exc:  # musl, containers, etc.
         logger.debug(f"host allocator tuning unavailable: {exc}")
 
