@@ -228,3 +228,35 @@ def test_write_flat_matches_write_batch(tmp_path):
                 np.testing.assert_array_equal(x[key], y[key])
             else:
                 assert x[key] == y[key], key
+
+
+def test_batch_append_across_sessions(tmp_path):
+    """Appending a second batch-encoded session to an existing BLOW5 file
+    (EOF stripped, arbitrary unaligned resume offset for the O_DIRECT
+    bulk path) yields all records intact."""
+    from seq2squiggle_tpu.io.slow5 import Slow5FileWriter
+
+    path = str(tmp_path / "a.blow5")
+    rng = np.random.default_rng(11)
+    hdr = {"run_id": "r0"}
+    all_sigs = []
+
+    for session in range(3):
+        w = Slow5FileWriter(path)
+        w.open(hdr)
+        sigs = [rng.integers(-3000, 3000, size=int(rng.integers(1, 3000)),
+                             dtype=np.int16) for _ in range(7)]
+        ids = [f"s{session}-r{i}" for i in range(7)]
+        n = len(ids)
+        used = w.write_records_batch(
+            ids, sigs, 8192.0, [10.0] * n, 1500.0, 4000.0, [200.0] * n,
+            list(range(n)), list(range(n)))
+        w.close()
+        if not used:
+            pytest.skip("native batch encoder unavailable")
+        all_sigs.extend(sigs)
+
+    _, records = read_slow5(path)
+    assert len(records) == 21
+    for rec, sig in zip(records, all_sigs):
+        np.testing.assert_array_equal(rec["signal"], sig)
