@@ -236,6 +236,26 @@ size_t event_wire_decode(const uint8_t* stream,   // (B, T/2) packed nibbles
 // order, which is how the per-row offsets dropped off the wire. Returns
 // false on a buffer bounds violation (device overflow -> caller
 // recomputes the batch raw).
+// 2-bit symbol -> int8 delta LUT, one byte's 4 symbols packed into a u32
+// (symbol 0 -> 0, 1 -> +1, 2 -> -1, 3 -> escape sentinel -128 — a value
+// an inline delta can never take, so the patch scan below is exact).
+static uint32_t g_sym_lut[256];
+static bool g_sym_lut_ready = false;
+
+static void sym_lut_init() {
+  for (int b = 0; b < 256; ++b) {
+    uint32_t v = 0;
+    for (int j = 0; j < 4; ++j) {
+      const int sym = (b >> (2 * j)) & 3;
+      const int8_t d = (sym == 3) ? (int8_t)-128
+                                  : (int8_t)((sym == 1) - (sym == 2));
+      v |= ((uint32_t)(uint8_t)d) << (8 * j);
+    }
+    g_sym_lut[b] = v;
+  }
+  g_sym_lut_ready = true;  // idempotent; a racing re-init writes same values
+}
+
 static bool ulp_row_rebuild(const uint8_t* s, uint16_t lvl0,
                             const int8_t* lvl_d, const uint8_t* en,
                             const uint8_t* sq, const uint8_t* esc,
@@ -268,6 +288,37 @@ static bool ulp_row_rebuild(const uint8_t* s, uint16_t lvl0,
     *li_io = li;
   }
   size_t ei = *ei_io, wi = *wi_io;
+  if (!g_sym_lut_ready) sym_lut_init();
+  // Pass 1a: branch-free LUT expansion of the whole row's symbols to int8
+  // deltas, then patch the rare escapes (~10/row Poisson) in frame order —
+  // cursor order on the flat side buffers is part of the wire contract.
+  // This replaces the old per-frame shift/mask/branch walk (the decode
+  // thread's hottest serial loop at 303 batches x 2048 rows x 250 frames).
+  int8_t d8v[256 + 4];
+  const size_t W = (T + 3) / 4;
+  for (size_t i = 0; i < W; ++i) std::memcpy(d8v + 4 * i, &g_sym_lut[s[i]], 4);
+  int32_t dv[256];
+  for (size_t t = 0; t < T; ++t) dv[t] = d8v[t];  // widen; auto-vectorizes
+  for (size_t t = 0; t < T; ++t) {
+    if (d8v[t] == -128) {
+      if (ei >= esc_end) return false;
+      const uint8_t nb =
+          (ei & 1) ? (esc[ei >> 1] >> 4) : (esc[ei >> 1] & 0xF);
+      ++ei;
+      if (nb == 8) {  // wide-jump marker
+        // wi is a BYTE offset into the global buffer (a shard's slot
+        // span starts at shard*B_s bytes, not 4-byte aligned there).
+        if (wi >= wide_end) return false;
+        std::memcpy(&dv[t], wide_bytes + wi, 4);
+        wi += 4;
+      } else {
+        dv[t] = (int32_t)nb - 8;
+      }
+    }
+  }
+  // Pass 1b: per-segment cumsum; the start frame takes lv[seg] verbatim
+  // (its delta was still expanded above, so escape consumption matches
+  // the packer's stream order exactly).
   size_t start = 0;
   for (size_t seg = 0; seg <= K; ++seg) {
     size_t end = (seg < K) ? (size_t)en[seg] : T;
@@ -278,29 +329,13 @@ static bool ulp_row_rebuild(const uint8_t* s, uint16_t lvl0,
                                  : sigma_tail_pa;
       for (size_t t = start; t < end; ++t) sigma_f[t] = sv;
     }
-    int32_t cur = (int32_t)lv[seg];
-    for (size_t t = start; t < end; ++t) {
-      const int sym = (s[t >> 2] >> ((t & 3) * 2)) & 3;
-      int32_t d;
-      if (sym == 3) {
-        if (ei >= esc_end) return false;
-        const uint8_t nb =
-            (ei & 1) ? (esc[ei >> 1] >> 4) : (esc[ei >> 1] & 0xF);
-        ++ei;
-        if (nb == 8) {  // wide-jump marker
-          // wi is a BYTE offset into the global buffer (a shard's slot
-          // span starts at shard*B_s bytes, not 4-byte aligned there).
-          if (wi >= wide_end) return false;
-          std::memcpy(&d, wide_bytes + wi, 4);
-          wi += 4;
-        } else {
-          d = (int32_t)nb - 8;
-        }
-      } else {
-        d = (sym == 1) - (sym == 2);
+    if (start < end) {
+      int32_t cur = (int32_t)lv[seg];
+      ord[start] = (uint16_t)cur;
+      for (size_t t = start + 1; t < end; ++t) {
+        cur += dv[t];
+        ord[t] = (uint16_t)cur;
       }
-      if (t != start) cur += d;  // the start frame is lv[seg] verbatim
-      ord[t] = (uint16_t)cur;
     }
     start = end;
   }
