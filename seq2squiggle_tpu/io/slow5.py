@@ -425,8 +425,8 @@ class Slow5FileWriter:
 
     def _open_direct(self):
         self._fd_direct = -1
-        if not hasattr(os, "O_DIRECT"):
-            return
+        if not self.binary or not hasattr(os, "O_DIRECT"):
+            return  # ASCII output never takes the bulk path
         try:
             self._fd_direct = os.open(self.filename, os.O_WRONLY | os.O_DIRECT)
         except OSError:
