@@ -154,7 +154,7 @@ def attempt_real_weights():
         "    rec['status'] = 'imported'\n"
         "except Exception as exc:\n"
         "    rec['status'] = 'unavailable'\n"
-        "    rec['error'] = f'{type(exc).__name__}: {exc}'[:300]\n"
+        "    rec['error'] = f'{type(exc).__name__}: {exc}'[:2000]\n"
         "print('REAL_WEIGHTS ' + json.dumps(rec))\n"
     )
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
@@ -413,6 +413,19 @@ def main():
         # Compute-vs-transfer split for the median run. Stages overlap
         # (threads), so these are per-stage walls, not a partition.
         detail["stage_timers_s"] = med_stats["timers"]
+    # EVERY run's timers, in run order (VERDICT r4 weak #5: a +18% outlier
+    # run was unexplained because only the median run's timers survived).
+    # per_run rows pair each wall with its stage split so an outlier's
+    # cause — tunnel D2H phase, writer stall, decode contention — is
+    # attributable from the artifact alone.
+    per_run = []
+    for wall, stats in runs:
+        row = {"wall_s": round(wall, 2)}
+        if stats.get("timers"):
+            row["stage_timers_s"] = stats["timers"]
+        per_run.append(row)
+    if any("stage_timers_s" in r for r in per_run):
+        detail["per_run"] = per_run
     if not os.environ.get("BENCH_SKIP_CPU"):
         cpu = measure_cpu_denominator()
         if cpu:

@@ -143,7 +143,7 @@ def advanced_options(f):
                      "packing)."),
         click.option("--slow5-press", default="zstd",
                      type=click.Choice(["zstd", "zlib", "none"]),
-                     show_default=True, hidden=True,
+                     show_default=True,
                      help="BLOW5 record compression (signal blobs are "
                      "always svb-zd). zstd is ~4x cheaper to encode than "
                      "zlib at the same output size and is a standard "
@@ -419,25 +419,32 @@ def version():
             logger.info(f"{dep}: not installed")
     # Backend init can block indefinitely when a remote TPU runtime is
     # unreachable (observed: the axon tunnel claim-waits ~25 min before
-    # raising). `version` must never hang, so the device listing is
-    # best-effort behind a hard wall; the daemon probe thread is abandoned
-    # on timeout.
-    import threading
+    # raising), and an abandoned in-process init thread can throw during
+    # interpreter teardown and SIGABRT the whole process. `version` must
+    # never hang AND must exit 0 during an outage, so the device probe runs
+    # in a throwaway subprocess behind a hard wall — this process never
+    # touches backend init at all.
+    import subprocess
+    import sys as _sys
 
-    listed: list = []
-
-    def _probe():
-        try:
-            listed.append([str(d) for d in jax.devices()])
-        except Exception as exc:
-            listed.append(f"unavailable ({type(exc).__name__})")
-
-    th = threading.Thread(target=_probe, daemon=True)
-    th.start()
-    th.join(timeout=10.0)
-    logger.info(
-        f"devices: {listed[0] if listed else 'unavailable (backend init timed out)'}"
+    probe_src = (
+        "import jax; "
+        "print('\\x1e'.join(str(d) for d in jax.devices()), end='')"
     )
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", probe_src],
+            capture_output=True, text=True, timeout=15.0,
+        )
+        if proc.returncode == 0 and proc.stdout:
+            devices = str(proc.stdout.split("\x1e"))
+        else:
+            devices = f"unavailable (probe exit {proc.returncode})"
+    except subprocess.TimeoutExpired:
+        devices = "unavailable (backend init timed out)"
+    except Exception as exc:
+        devices = f"unavailable ({type(exc).__name__})"
+    logger.info(f"devices: {devices}")
 
 
 if __name__ == "__main__":

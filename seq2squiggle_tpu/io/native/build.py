@@ -52,7 +52,7 @@ def _cache_path() -> str:
     return os.path.join(d, f"libslow5codec-{digest}-{_isa_tag()}.so")
 
 
-def _compile(out_path: str) -> bool:
+def _compile(out_path: str, allow_zstd: bool = True) -> bool:
     # -march=native + -fopenmp-simd let gcc vectorize the threefry rounds
     # and the branch-free uniform->normal transform (AVX-512 on this host);
     # zstd enables the batch record encoder's method 3. Each flag set drops
@@ -66,6 +66,8 @@ def _compile(out_path: str) -> bool:
         ["-march=native", "-fopenmp-simd", "-lz"],
         ["-lz"],
     ]
+    if not allow_zstd:
+        ladders = [lad for lad in ladders if "-lzstd" not in lad]
     for extra in ladders:
         try:
             subprocess.run(base + extra, check=True, capture_output=True,
@@ -92,8 +94,24 @@ def load_native() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(path)
         except OSError as exc:
-            logger.debug(f"native codec load failed: {exc}")
-            return None
+            # A cached .so linked against -lzstd at build time fails to load
+            # if libzstd.so has since vanished — and that would silently
+            # disable ALL native fast paths (decode included). Rebuild once
+            # without the optional zstd dependency before giving up.
+            logger.debug(
+                f"native codec load failed: {exc}; rebuilding without zstd"
+            )
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            if not _compile(path, allow_zstd=False):
+                return None
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError as exc2:
+                logger.debug(f"native codec load failed again: {exc2}")
+                return None
         size_t = ctypes.c_size_t
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i16p = ctypes.POINTER(ctypes.c_int16)

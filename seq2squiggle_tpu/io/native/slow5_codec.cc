@@ -991,6 +991,12 @@ size_t blow5_encode_batch(
   for (size_t i = 0; i < n && ok; ++i) {
     const size_t nsig = (size_t)(sample_off[i + 1] - sample_off[i]);
     const size_t rid_len = (size_t)(rid_off[i + 1] - rid_off[i]);
+    if (rid_len > 0xFFFF) {
+      // Would truncate in the u16 length prefix: bail to the per-record
+      // Python path, which raises via struct.pack('<H', ...).
+      ok = false;
+      break;
+    }
     uint8_t* p = rec;
     const uint16_t rl16 = (uint16_t)rid_len;
     std::memcpy(p, &rl16, 2);

@@ -459,8 +459,27 @@ class Slow5FileWriter:
         aligned = ((pos - head) // a) * a
         if aligned:
             self._fh.flush()
-            os.pwrite(self._fd_direct, mv[s0 + head:s0 + head + aligned],
-                      f + head)
+            # pwrite may write fewer bytes than asked (per-call size limits,
+            # ENOSPC partway): loop until the whole aligned middle lands, and
+            # finish any O_DIRECT-refused remainder through the buffered fh
+            # so a short write can never leave a gap of garbage mid-file.
+            off = f + head
+            src = s0 + head
+            remaining = aligned
+            while remaining:
+                try:
+                    n = os.pwrite(self._fd_direct, mv[src:src + remaining],
+                                  off)
+                except OSError:
+                    n = 0
+                if n <= 0:
+                    break
+                off += n
+                src += n
+                remaining -= n
+            if remaining:
+                self._fh.seek(off)
+                self._fh.write(mv[src:src + remaining])
             self._fh.seek(f + head + aligned)
         tail = pos - head - aligned
         if tail:

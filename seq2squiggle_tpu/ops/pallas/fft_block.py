@@ -99,6 +99,42 @@ def _attn_headloop(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype):
     return jnp.concatenate(ctx_heads, axis=-1)  # (TB*L, D)
 
 
+def _cs_shift(q, k, TB, L, n_head, inv_temp, hmask_f, L_real):
+    """Per-row Cauchy–Schwarz softmax shift for the head-packed layout.
+
+    q, k: (TB*L, D) compute dtype. Returns (TB, HL, 1) f32 where row
+    (h, t) holds ‖q_ht‖ · max_s ‖k_hs‖ · inv_temp — a true upper bound
+    on head h's tempered score for query t, so exp(score·τ − shift) ≤ 1.
+    Shared by the inference kernel (_attn_packed) and the training
+    core's forward/backward kernels (attn_core.py) so e/den match
+    bit-for-bit across all three."""
+    L_dim = TB * L  # noqa: F841  (documentation of q's leading dim)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn2 = jnp.dot(qf * qf, hmask_f,
+                  preferred_element_type=jnp.float32)   # (TB*L, H)
+    kn2 = jnp.dot(kf * kf, hmask_f,
+                  preferred_element_type=jnp.float32)   # (TB*L, H)
+    kn2r = kn2.reshape(TB, L, n_head)
+    if L_real != L:
+        # padded key rows must not inflate the per-head ‖k‖ max
+        krow = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+        kn2r = jnp.where(krow < L_real, kn2r, jnp.float32(0))
+    kn2m = jnp.max(kn2r, axis=1, keepdims=True)
+    qn = jnp.sqrt(qn2).reshape(TB, L, n_head)
+    kn = jnp.sqrt(kn2m)                                 # (TB, 1, H)
+    qk = qn * kn * inv_temp                             # (TB, L, H)
+    # fold (TB, L, H) -> (TB, HL, 1): tile H× down sublanes (identical
+    # pieces share layout offsets), keep head h's lane in row block h,
+    # lane-reduce. Replaces the offset-mismatched 1-lane concat.
+    qk_t = jnp.concatenate([qk] * n_head, axis=1)       # (TB, HL, H)
+    rh = jax.lax.broadcasted_iota(jnp.int32,
+                                  (n_head * L, n_head), 0) // L
+    rc = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 1)
+    rsel = (rh == rc).astype(jnp.float32)               # (HL, H)
+    return jnp.sum(qk_t * rsel, axis=-1, keepdims=True)  # (TB, HL, 1)
+
+
 def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
                  L_real, ablate: str = ""):
     """Head-PACKED attention: all heads ride one matmul per stage.
@@ -166,30 +202,7 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
     if ablate == "noshift":  # profiling-only: cost of the shift machinery
         shift = jnp.float32(0.0)
     else:
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        qn2 = jnp.dot(qf * qf, hmask_f,
-                      preferred_element_type=jnp.float32)   # (TB*L, H)
-        kn2 = jnp.dot(kf * kf, hmask_f,
-                      preferred_element_type=jnp.float32)   # (TB*L, H)
-        kn2r = kn2.reshape(TB, L, n_head)
-        if L_real != L:
-            # padded key rows must not inflate the per-head ‖k‖ max
-            krow = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
-            kn2r = jnp.where(krow < L_real, kn2r, jnp.float32(0))
-        kn2m = jnp.max(kn2r, axis=1, keepdims=True)
-        qn = jnp.sqrt(qn2).reshape(TB, L, n_head)
-        kn = jnp.sqrt(kn2m)                                 # (TB, 1, H)
-        qk = qn * kn * inv_temp                             # (TB, L, H)
-        # fold (TB, L, H) -> (TB, HL, 1): tile H× down sublanes (identical
-        # pieces share layout offsets), keep head h's lane in row block h,
-        # lane-reduce. Replaces the offset-mismatched 1-lane concat.
-        qk_t = jnp.concatenate([qk] * n_head, axis=1)       # (TB, HL, H)
-        rh = jax.lax.broadcasted_iota(jnp.int32,
-                                      (n_head * L, n_head), 0) // L
-        rc = jax.lax.broadcasted_iota(jnp.int32, (n_head * L, n_head), 1)
-        rsel = (rh == rc).astype(jnp.float32)               # (HL, H)
-        shift = jnp.sum(qk_t * rsel, axis=-1, keepdims=True)  # (TB, HL, 1)
+        shift = _cs_shift(q, k, TB, L, n_head, inv_temp, hmask_f, L_real)
 
     scores = jax.lax.dot_general(
         qhat, k3, (((2,), (2,)), ((0,), (0,))),

@@ -192,8 +192,24 @@ def test_batch_encoder_matches_per_record(tmp_path, press):
     wb.close()
     if not used_native:
         pytest.skip("native batch encoder unavailable in this environment")
-    with open(pa, "rb") as fa, open(pb, "rb") as fb:
-        assert fa.read() == fb.read()
+    if press == "zstd":
+        # python-zstandard bundles its own libzstd while the native encoder
+        # links the system one; different library versions can legitimately
+        # emit different (both valid) frames, so zstd pins decoded equality
+        # only. zlib/none stay byte-exact.
+        from seq2squiggle_tpu.io.slow5 import read_slow5
+
+        ha, ra = read_slow5(pa)
+        hb, rb = read_slow5(pb)
+        assert ha == hb and len(ra) == len(rb) == n
+        for a, b in zip(ra, rb):
+            sa = a.pop("signal")
+            sb = b.pop("signal")
+            np.testing.assert_array_equal(sa, sb)
+            assert a == b
+    else:
+        with open(pa, "rb") as fa, open(pb, "rb") as fb:
+            assert fa.read() == fb.read()
 
 
 def test_write_flat_matches_write_batch(tmp_path):
