@@ -62,6 +62,9 @@ DEFAULT_CONFIG: dict = {
     # ops/pallas/fft_block._packed_default)
     "pallas_pair": "auto",  # auto | true | false — fuse both decoder FFT
     # blocks into one pallas_call (auto = off until timed on hardware)
+    "pallas_train": "auto",  # auto | true | false — head-packed attention
+    # core with custom-VJP Pallas kernels on the TRAINING path (auto =
+    # bf16, non-CPU, tp=1; see models/fft_model._use_packed_core)
     "random_seed": 42,  # used for file-level train/valid splits
     "tensor_parallel": 1,  # 'tp' mesh degree for training (CLI: train --tp)
 }
@@ -117,6 +120,7 @@ def check_model_config(model_config: dict, config: dict) -> None:
         "use_pallas",
         "pallas_packed",
         "pallas_pair",
+        "pallas_train",
         "random_seed",
         "tensor_parallel",
     }

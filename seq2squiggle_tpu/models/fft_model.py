@@ -46,6 +46,34 @@ def _use_pallas_blocks(config: dict, x, mask, dropout_rng) -> bool:
     return False
 
 
+def _use_packed_core(config: dict, x, mask) -> bool:
+    """Head-packed attention core with custom VJP (ops/pallas/attn_core):
+    the bf16 TRAINING fast path (inference prefers the fully fused block
+    kernel via _use_pallas_blocks, which wins when dropout is off).
+
+    Gated off for: explicit masks (the core has no user-mask support),
+    float32 fidelity mode (kept on the Precision.HIGHEST XLA path),
+    short sequences (the encoder's L=16 scores are trivial — XLA's
+    per-head path is already fast there), CPU (Mosaic can't compile;
+    interpret mode would be pure overhead), and tensor-parallel runs
+    (pjit cannot shard heads THROUGH a pallas_call — the XLA einsums
+    shard cleanly instead)."""
+    if mask is not None or x.shape[1] <= 32:
+        return False
+    mode = config.get("pallas_train", "auto")
+    if mode is True:
+        return True
+    if mode == "auto":
+        import jax as _jax
+
+        return (
+            x.dtype == jnp.bfloat16
+            and _jax.default_backend() != "cpu"
+            and int(config.get("tensor_parallel", 1)) == 1
+        )
+    return False
+
+
 def _packed_mode(config: dict):
     """config 'pallas_packed' -> fused_fft_block's packed arg (None = auto
     by sequence length; see ops/pallas/fft_block._packed_default)."""
@@ -196,11 +224,12 @@ def encoder_forward(
                                 packed=packed)
         return h, emb_out
     rate = config["encoder_dropout"] if dropout_rng is not None else 0.0
+    use_core = _use_packed_core(config, h, mask)
     for i, block in enumerate(enc["blocks"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None
         h = fft_block(
             block, h, config["encoder_heads"], mask=mask,
-            dropout_rate=rate, dropout_rng=rng_i,
+            dropout_rate=rate, dropout_rng=rng_i, packed_core=use_core,
         )
     return h, emb_out
 
@@ -232,11 +261,12 @@ def decoder_forward(
         out = linear(dec["out_linear"], h)
         return jax.nn.relu(out)
     rate = config["decoder_dropout"] if dropout_rng is not None else 0.0
+    use_core = _use_packed_core(config, h, mask)
     for i, block in enumerate(dec["blocks"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None
         h = fft_block(
             block, h, config["decoder_heads"], mask=mask,
-            dropout_rate=rate, dropout_rng=rng_i,
+            dropout_rate=rate, dropout_rng=rng_i, packed_core=use_core,
         )
     out = linear(dec["out_linear"], h)
     return jax.nn.relu(out)

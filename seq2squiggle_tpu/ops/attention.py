@@ -75,42 +75,57 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    packed_core: bool = False,
 ) -> jnp.ndarray:
-    """Self-attention with post-LN residual. x: (B, L, D)."""
+    """Self-attention with post-LN residual. x: (B, L, D).
+
+    packed_core=True swaps the einsum/softmax core for the head-packed
+    Pallas kernel pair with a custom VJP (ops/pallas/attn_core.py) — the
+    training fast path. Projections, dropout (same jax.random calls and
+    key order), and LayerNorm are identical in both branches, so the RNG
+    stream and every non-core tensor are bit-equal across them."""
     B, L, D = x.shape
     d_k = D // n_head
     residual = x
 
-    q = linear(p["w_qs"], x).reshape(B, L, n_head, d_k)
-    k = linear(p["w_ks"], x).reshape(B, L, n_head, d_k)
-    v = linear(p["w_vs"], x).reshape(B, L, n_head, d_k)
+    if packed_core and mask is None:
+        from .pallas.attn_core import packed_attention_core
 
-    # (B, H, L, d_k)
-    q = q.transpose(0, 2, 1, 3)
-    k = k.transpose(0, 2, 1, 3)
-    v = v.transpose(0, 2, 1, 3)
+        q = linear(p["w_qs"], x)
+        k = linear(p["w_ks"], x)
+        v = linear(p["w_vs"], x)
+        out = packed_attention_core(q, k, v, n_head)
+    else:
+        q = linear(p["w_qs"], x).reshape(B, L, n_head, d_k)
+        k = linear(p["w_ks"], x).reshape(B, L, n_head, d_k)
+        v = linear(p["w_vs"], x).reshape(B, L, n_head, d_k)
 
-    attn = jnp.einsum(
-        "bhqd,bhkd->bhqk",
-        q,
-        k,
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(x.dtype),
-    )
-    attn = attn / jnp.sqrt(jnp.float32(d_k))
-    if mask is not None:
-        # mask: (B, L_k) True = padding position to hide from all queries
-        attn = jnp.where(mask[:, None, None, :], -jnp.inf, attn)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        # (B, H, L, d_k)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
 
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd",
-        attn,
-        v,
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(x.dtype),
-    )
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q,
+            k,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(x.dtype),
+        )
+        attn = attn / jnp.sqrt(jnp.float32(d_k))
+        if mask is not None:
+            # mask: (B, L_k) True = padding position to hide from all queries
+            attn = jnp.where(mask[:, None, None, :], -jnp.inf, attn)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            attn,
+            v,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(x.dtype),
+        )
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
 
     out = linear(p["fc"], out)
     out = _maybe_dropout(out, dropout_rate, dropout_rng)
@@ -137,12 +152,14 @@ def fft_block(
     mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    packed_core: bool = False,
 ) -> jnp.ndarray:
     rng_a = rng_f = None
     if dropout_rng is not None:
         rng_a, rng_f = jax.random.split(dropout_rng)
     x = multi_head_attention(
-        p["attn"], x, n_head, mask=mask, dropout_rate=dropout_rate, dropout_rng=rng_a
+        p["attn"], x, n_head, mask=mask, dropout_rate=dropout_rate,
+        dropout_rng=rng_a, packed_core=packed_core,
     )
     x = positionwise_ffn(p["ffn"], x, dropout_rate=dropout_rate, dropout_rng=rng_f)
     return x

@@ -337,6 +337,33 @@ def train_run(
         logger.warning(f"--resume requested but {state_path} not found; "
                        "starting fresh.")
 
+    # Packed-attention training kernels vary in lowerability by backend:
+    # compile-check fwd+bwd ONCE at the real decoder length before the
+    # loop, and step down to the XLA attention path on failure (the
+    # train-side mirror of predict's first-batch ladder). The probe runs
+    # only when the core would actually engage.
+    from ..models.fft_model import _use_packed_core
+
+    _core_probe_x = jnp.zeros(
+        (1, int(config["max_signal_len"]), int(config["dmodel"])),
+        jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
+        else jnp.float32,
+    )
+    if _use_packed_core(config, _core_probe_x, None):
+        try:
+            from ..ops.pallas.attn_core import probe_core
+
+            probe_core(int(config["max_signal_len"]), int(config["dmodel"]),
+                       int(config["decoder_heads"]),
+                       dtype=_core_probe_x.dtype)
+        except Exception as exc:
+            logger.warning(
+                f"Packed attention training kernel unavailable on this "
+                f"backend ({type(exc).__name__}); falling back to XLA "
+                "attention."
+            )
+            config = dict(config, pallas_train=False)
+
     train_step = make_train_step(config, optimizer)
     valid_step = make_valid_step(config)
 

@@ -149,3 +149,166 @@ def test_fused_block_pads_ragged_batch(setup):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=2e-3, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Training path: head-packed attention core with custom VJP (attn_core.py)
+# ---------------------------------------------------------------------------
+
+
+def _xla_attention_core(q, k, v, n_head):
+    """The einsum/softmax core exactly as ops/attention.multi_head_attention
+    computes it (the oracle the packed kernels must match)."""
+    B, L, D = q.shape
+    d_k = D // n_head
+    qh = q.reshape(B, L, n_head, d_k).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, n_head, d_k).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, n_head, d_k).transpose(0, 2, 1, 3)
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32,
+                   precision=prec) / jnp.sqrt(jnp.float32(d_k))
+    a = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, vh,
+                   preferred_element_type=jnp.float32, precision=prec)
+    return o.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def _core_qkv(dtype, B=3, L=37, D=64, seed=7):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, L, D)), dtype)  # noqa
+    return mk(), mk(), mk(), mk()  # q, k, v, cotangent weights
+
+
+def test_packed_core_fwd_matches_xla_f32():
+    from seq2squiggle_tpu.ops.pallas.attn_core import packed_attention_core
+
+    q, k, v, _ = _core_qkv(jnp.float32)  # L=37 exercises the 37->40 pad
+    ref = _xla_attention_core(q, k, v, 8)
+    out = packed_attention_core(q, k, v, 8)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_core_grads_match_xla_f32():
+    """The hand-written backward kernel vs jax.grad through the XLA core:
+    all three input grads tight in f32."""
+    from seq2squiggle_tpu.ops.pallas.attn_core import packed_attention_core
+
+    q, k, v, w = _core_qkv(jnp.float32)
+    gref = jax.grad(lambda a, b, c: jnp.sum(_xla_attention_core(a, b, c, 8)
+                                            * w), argnums=(0, 1, 2))(q, k, v)
+    gout = jax.grad(lambda a, b, c: jnp.sum(packed_attention_core(a, b, c, 8)
+                                            * w), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gref, gout):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"grad_{name}")
+
+
+def test_packed_core_grads_bf16_ulp_band():
+    """Production dtype: grads within a few bf16 ULPs of the XLA path
+    (the kernels reorder accumulations, so bit-equality is not expected)."""
+    from seq2squiggle_tpu.ops.pallas.attn_core import packed_attention_core
+
+    q, k, v, w = _core_qkv(jnp.bfloat16, B=2, L=50)
+    wf = w.astype(jnp.float32)
+    gref = jax.grad(
+        lambda a, b, c: jnp.sum(_xla_attention_core(a, b, c, 8)
+                                .astype(jnp.float32) * wf),
+        argnums=(0, 1, 2))(q, k, v)
+    gout = jax.grad(
+        lambda a, b, c: jnp.sum(packed_attention_core(a, b, c, 8)
+                                .astype(jnp.float32) * wf),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gref, gout):
+        af = np.asarray(a, np.float32)
+        bf = np.asarray(b, np.float32)
+        tol = 8 * 2.0 ** -8 * max(1.0, float(np.max(np.abs(af))))
+        assert float(np.max(np.abs(af - bf))) <= tol, (
+            f"grad_{name}: {float(np.max(np.abs(af - bf)))} > {tol}")
+
+
+def test_fft_block_packed_core_matches_plain(setup):
+    """fft_block(packed_core=True) — the training fast path — vs the plain
+    XLA block, values AND grads, with dropout ON to pin that the RNG
+    stream (projection->dropout->LN ordering) is identical across the
+    two attention cores."""
+    cfg, params = setup
+    block = params["decoder"]["blocks"][0]
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 60, 64)), jnp.float32)
+    key = jax.random.key(3)
+
+    def run(pc):
+        return fft_block(block, x, n_head=8, dropout_rate=0.2,
+                         dropout_rng=key, packed_core=pc)
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, pc):
+        out = fft_block(p, x, n_head=8, dropout_rate=0.2, dropout_rng=key,
+                        packed_core=pc)
+        return jnp.sum(out * out)
+
+    gref = jax.grad(lambda p: loss(p, False))(block)
+    gout = jax.grad(lambda p: loss(p, True))(block)
+    flat_ref = jax.tree_util.tree_leaves_with_path(gref)
+    flat_out = dict(
+        (jax.tree_util.keystr(kp), leaf)
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(gout))
+    for kp, ref_leaf in flat_ref:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(flat_out[name]), np.asarray(ref_leaf),
+            rtol=5e-4, atol=1e-4, err_msg=name)
+
+
+def test_train_forward_packed_core_matches_xla():
+    """model_forward_train with config pallas_train=True (forced; interpret
+    mode on CPU) vs the default XLA path: same dropout stream, same loss
+    to within core numerics — the whole-train-step integration check."""
+    from seq2squiggle_tpu.config import load_config
+    from seq2squiggle_tpu.models.fft_model import init_params
+    from seq2squiggle_tpu.train.loop import loss_fn
+
+    cfg = load_config(None)
+    cfg["compute_dtype"] = "float32"
+    cfg["max_signal_len"] = 50  # keep interpret-mode runtime sane
+    cfg["max_dna_len"] = 16
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(5)
+    B, K = 2, 16
+    k = cfg["seq_kmer"]
+    batch = {
+        "chunks": jnp.asarray(
+            rng.integers(0, 2, (B, K, k * 5)), jnp.float32),
+        "chunks_lengths": jnp.asarray(
+            rng.integers(1, 4, (B, K)), jnp.float32),
+        "targets": jnp.asarray(rng.standard_normal((B, 50, 1)), jnp.float32),
+        "stdevs": jnp.asarray(
+            np.abs(rng.standard_normal((B, K))), jnp.float32),
+    }
+    mask = jnp.ones((B,), jnp.float32)
+    key = jax.random.key(9)
+
+    ref_loss, ref_m = loss_fn(params, batch, mask, cfg, key)
+    cfg_core = dict(cfg, pallas_train=True)
+    out_loss, out_m = loss_fn(params, batch, mask, cfg_core, key)
+    np.testing.assert_allclose(float(out_loss), float(ref_loss),
+                               rtol=1e-4, atol=1e-5)
+
+    gref = jax.grad(lambda p: loss_fn(p, batch, mask, cfg, key)[0])(params)
+    gout = jax.grad(
+        lambda p: loss_fn(p, batch, mask, cfg_core, key)[0])(params)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(gref)
+    out_leaves = dict(
+        (jax.tree_util.keystr(kp), leaf)
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(gout))
+    for kp, ref_leaf in ref_leaves:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(out_leaves[name]), np.asarray(ref_leaf),
+            rtol=2e-3, atol=2e-4, err_msg=name)

@@ -89,3 +89,74 @@ def test_offline_sweep(tmp_path):
     sweep_run(str(sweep_file), count=2, config=cfg, seed=0)
     results = (tmp_path / "sweep_results.jsonl").read_text().strip().splitlines()
     assert len(results) == 2
+
+
+def _sweep_setup(tmp_path):
+    import yaml  # noqa: F401
+
+    from test_preprocess import make_events
+    from seq2squiggle_tpu.config import load_config
+    from seq2squiggle_tpu.train.preprocess import build_chunkset, save_chunkset
+
+    cfg = load_config(None)
+    cfg.update(dict(compute_dtype="float32", train_batch_size=8, max_epochs=2,
+                    max_chunks_valid=20))
+    outdir = tmp_path / "npy"
+    for i in range(2):
+        data = build_chunkset(make_events(16 * 6, seed=i), cfg, False, False)
+        save_chunkset(data, str(outdir), i)
+    return cfg, outdir
+
+
+def test_offline_sweep_grid(tmp_path):
+    import json
+
+    import yaml
+
+    from seq2squiggle_tpu.train.sweep import sweep_run
+
+    cfg, outdir = _sweep_setup(tmp_path)
+    cfg["max_epochs"] = 1
+    space = {
+        "train_dir": str(outdir),
+        "method": "grid",
+        "parameters": {"lr": {"values": [1e-3, 5e-4]},
+                       "dff": {"values": [128, 256]}},
+    }
+    sweep_file = tmp_path / "sweep.yaml"
+    sweep_file.write_text(yaml.safe_dump(space))
+    sweep_run(str(sweep_file), count=10, config=cfg, seed=0)
+    rows = [json.loads(line) for line in
+            (tmp_path / "sweep_results.jsonl").read_text().splitlines()]
+    assert len(rows) == 4  # full 2x2 grid (count caps, not pads)
+    combos = {(r["params"]["lr"], r["params"]["dff"]) for r in rows}
+    assert combos == {(1e-3, 128), (1e-3, 256), (5e-4, 128), (5e-4, 256)}
+
+
+def test_offline_sweep_halving(tmp_path):
+    import json
+
+    import yaml
+
+    from seq2squiggle_tpu.train.sweep import sweep_run
+
+    cfg, outdir = _sweep_setup(tmp_path)
+    space = {
+        "train_dir": str(outdir),
+        "method": "halving",
+        "eta": 2,
+        "min_epochs": 1,
+        "parameters": {"lr": {"values": [1e-3, 5e-4, 1e-4, 5e-5]}},
+    }
+    sweep_file = tmp_path / "sweep.yaml"
+    sweep_file.write_text(yaml.safe_dump(space))
+    sweep_run(str(sweep_file), count=4, config=cfg, seed=0)
+    rows = [json.loads(line) for line in
+            (tmp_path / "sweep_results.jsonl").read_text().splitlines()]
+    # rungs: 4 trials @1 epoch -> 2 @2 epochs -> 1 @2 (capped by max_epochs)
+    assert [r["rung"] for r in rows] == [0, 0, 0, 0, 1, 1, 2]
+    assert [r["epochs"] for r in rows] == [1, 1, 1, 1, 2, 2, 2]
+    # each rung's survivors are the best scorers of the previous rung
+    r0 = sorted(rows[:4], key=lambda r: r["metrics"]["valid_total_loss"])
+    kept = {json.dumps(r["params"], sort_keys=True) for r in rows[4:6]}
+    assert kept == {json.dumps(r["params"], sort_keys=True) for r in r0[:2]}
