@@ -51,23 +51,76 @@ FORMAT_FEATHER_V2 = 0
 SIGNAL_CHUNK = 102400  # samples per signal-table row
 
 
+def svb16_encode(signal: np.ndarray) -> bytes:
+    """ONT svb16: StreamVByte specialised for 16-bit values, with the
+    zig-zag delta transform folded in (vbz's delta_zig_zag mode).
+
+    Layout (docs/POD5_SPEC_NOTES.md; ONT's vbz/svb16 library):
+      - keys: ceil(n/8) bytes, ONE control bit per value, packed
+        LSB-first within each byte (value i -> bit i%8 of byte i//8);
+        bit 0 = one data byte, bit 1 = two.
+      - data: per value, 1 byte (v & 0xFF) when v < 256 else 2 bytes
+        little-endian.
+    Values are zigzag(int16 wrap-around delta). NOT the 32-bit 2-bit-key
+    StreamVByte that SLOW5's svb-zd uses — the two formats are cousins
+    but byte-incompatible (pinned by tests/test_pod5_goldens.py).
+    """
+    sig = np.asarray(signal, np.int16)
+    n = len(sig)
+    if n == 0:
+        return b""
+    d16 = np.diff(sig.astype(np.int32), prepend=np.int32(0)).astype(np.int16)
+    z = ((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)).astype(
+        np.uint16
+    )
+    two = z > 0xFF
+    keys = np.packbits(two, bitorder="little")
+    lens = two.astype(np.int64) + 1
+    pos = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=pos[1:])
+    data = np.zeros(int(lens.sum()), np.uint8)
+    data[pos] = (z & 0xFF).astype(np.uint8)
+    data[pos[two] + 1] = (z[two] >> 8).astype(np.uint8)
+    return keys.tobytes() + data.tobytes()
+
+
+def svb16_decode(data: bytes, count: int) -> np.ndarray:
+    """Inverse of svb16_encode; count = number of int16 samples."""
+    if count == 0:
+        return np.zeros(0, np.int16)
+    klen = (count + 7) // 8
+    buf = np.frombuffer(data, np.uint8)
+    two = np.unpackbits(buf[:klen], bitorder="little")[:count].astype(bool)
+    lens = two.astype(np.int64) + 1
+    pos = np.zeros(count, np.int64)
+    np.cumsum(lens[:-1], out=pos[1:])
+    stream = buf[klen:]
+    if int(lens.sum()) > len(stream):
+        raise ValueError("svb16 stream truncated")
+    z = stream[pos].astype(np.uint16)
+    hi = np.zeros(count, np.uint16)
+    hi[two] = stream[pos[two] + 1].astype(np.uint16)
+    z = z | (hi << 8)
+    d = ((z >> 1).astype(np.int32)
+         ^ -(z & 1).astype(np.int32)).astype(np.int16)
+    return np.cumsum(d.astype(np.int32)).astype(np.int16)
+
+
 def vbz_compress(signal: np.ndarray) -> bytes:
-    """vbz = zig-zag delta + StreamVByte + zstd."""
+    """vbz = zig-zag delta + svb16 StreamVByte + zstd (the codec pod5
+    applies to every signal-table row; sample count lives in the table's
+    `samples` column, not in the stream)."""
     import zstandard
 
-    from .slow5 import svb_zd_encode_signal
-
-    svb = svb_zd_encode_signal(np.asarray(signal, np.int16))
+    svb = svb16_encode(np.asarray(signal, np.int16))
     return zstandard.ZstdCompressor(level=1).compress(svb)
 
 
 def vbz_decompress(data: bytes, count: int) -> np.ndarray:
     import zstandard
 
-    from .slow5 import svb_zd_decode_signal
-
     svb = zstandard.ZstdDecompressor().decompress(data)
-    return svb_zd_decode_signal(svb, count)
+    return svb16_decode(svb, count)
 
 
 # ---------------------------------------------------------------------------
