@@ -40,7 +40,7 @@ params, _ = resolve_weights(bench._weights(), config, 42, profile)
 n_head = int(config['decoder_heads'])
 
 ABLATIONS = ("", "noexp", "bf16exp", "noshift", "nomask", "noden",
-             "noffn", "noattn")
+             "noffn", "noattn", "thin16")
 
 if __name__ == "__main__":
     dev = jax.devices()[0]

@@ -204,10 +204,23 @@ def _attn_packed(q, k, v, TB, L, d_k, n_head, inv_temp, compute_dtype,
     else:
         shift = _cs_shift(q, k, TB, L, n_head, inv_temp, hmask_f, L_real)
 
-    scores = jax.lax.dot_general(
-        qhat, k3, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TB, HL, L) f32, un-tempered
+    if ablate == "thin16":
+        # profiling-only: the score matmul contracting 16 lanes instead
+        # of 64. If this times the SAME as the full kernel, the score
+        # stage is MXU output-tile-bound (any contraction <= 128 lanes is
+        # one pass per output tile), which closes the ROADMAP block-1
+        # low-rank factorisation idea: the factorised form still
+        # materialises the same (HL, L) f32 score tensor, so it cannot
+        # save MXU time — only add gather/thin-matmul overhead.
+        scores = jax.lax.dot_general(
+            qhat[:, :, :16], k3[:, :, :16], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jax.lax.dot_general(
+            qhat, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TB, HL, L) f32, un-tempered
     if ablate == "noexp":  # profiling-only: cost of the exp itself
         e = scores * inv_temp - shift
     elif ablate == "bf16exp":  # profiling-only: exp at compute dtype

@@ -261,6 +261,7 @@ def simulate_run(
         jax.profiler.start_trace(trace_dir)
 
     t0 = time.perf_counter()
+    t0_proc = time.process_time()
     # In-flight batches awaiting host processing. The fetch + wire decode +
     # export run on a dedicated drain thread: fetching is a network wait
     # (GIL released), so the decode of batch N overlaps the transfer of
@@ -647,6 +648,11 @@ def simulate_run(
 
     if timing:
         timers["finalize"] = time.perf_counter() - t_fin
+        # Whole-PROCESS CPU for the loop: our per-stage thread_time timers
+        # miss CPU burned by runtime-internal threads (e.g. the backend
+        # client's D2H deserialisation). process_cpu >> sum(stage _cpu)
+        # means the core is going to those, not to this code.
+        timers["process_cpu"] = time.process_time() - t0_proc
         for dec_bits, dec in state.get("event_decoder", {}).items():
             for k, v in dec.timers.items():
                 timers[f"event{dec_bits}_{k}"] = v
