@@ -312,3 +312,20 @@ def test_train_forward_packed_core_matches_xla():
         np.testing.assert_allclose(
             np.asarray(out_leaves[name]), np.asarray(ref_leaf),
             rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_packed_core_grads_match_finite_differences():
+    """Numerical ground truth (not just the XLA path): jax.test_util
+    check_grads runs central finite differences through the custom VJP."""
+    from jax.test_util import check_grads
+
+    from seq2squiggle_tpu.ops.pallas.attn_core import packed_attention_core
+
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+               for _ in range(3))
+
+    def f(q, k, v):
+        return packed_attention_core(q, k, v, 2)  # H=2, d_k=8
+
+    check_grads(f, (q, k, v), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
