@@ -46,32 +46,50 @@ def _use_pallas_blocks(config: dict, x, mask, dropout_rng) -> bool:
     return False
 
 
-def _use_packed_core(config: dict, x, mask) -> bool:
-    """Head-packed attention core with custom VJP (ops/pallas/attn_core):
-    the bf16 TRAINING fast path (inference prefers the fully fused block
-    kernel via _use_pallas_blocks, which wins when dropout is off).
+def _train_kernel_mode(config: dict, x, mask) -> str:
+    """Training-path Pallas dispatch (inference prefers the fully fused
+    inference kernel via _use_pallas_blocks, which wins when dropout is
+    off). Returns one of:
 
-    Gated off for: explicit masks (the core has no user-mask support),
-    float32 fidelity mode (kept on the Precision.HIGHEST XLA path),
-    short sequences (the encoder's L=16 scores are trivial — XLA's
-    per-head path is already fast there), CPU (Mosaic can't compile;
-    interpret mode would be pure overhead), and tensor-parallel runs
-    (pjit cannot shard heads THROUGH a pallas_call — the XLA einsums
-    shard cleanly instead)."""
+      "block" — whole-block fused fwd+bwd kernels with in-kernel dropout
+                scales (ops/pallas/block_train), the fastest path
+      "core"  — attention-core-only custom VJP (ops/pallas/attn_core),
+                projections/FFN/LN/dropout in XLA
+      "xla"   — pure XLA blocks
+
+    config 'pallas_train': "auto"/True -> block, "core" -> core,
+    False -> xla. train_run's pre-loop probe downgrades auto one rung at
+    a time if a kernel cannot lower on the backend.
+
+    Gated to xla for: explicit masks (no user-mask support in the
+    kernels), float32 fidelity mode (kept on the Precision.HIGHEST XLA
+    path), short sequences (the encoder's L=16 scores are trivial), CPU
+    (Mosaic can't compile; interpret mode would be pure overhead), and
+    tensor-parallel runs (pjit cannot shard heads THROUGH a pallas_call —
+    the XLA einsums shard cleanly instead)."""
     if mask is not None or x.shape[1] <= 32:
-        return False
+        return "xla"
     mode = config.get("pallas_train", "auto")
-    if mode is True:
-        return True
+    if mode is True or mode == "block":
+        return "block"
+    if mode == "core":
+        return "core"
     if mode == "auto":
         import jax as _jax
 
-        return (
+        if (
             x.dtype == jnp.bfloat16
             and _jax.default_backend() != "cpu"
             and int(config.get("tensor_parallel", 1)) == 1
-        )
-    return False
+        ):
+            return "block"
+    return "xla"
+
+
+def _use_packed_core(config: dict, x, mask) -> bool:
+    """Back-compat boolean view of _train_kernel_mode (attention-core
+    rung or better engages the packed core inside fft_block)."""
+    return _train_kernel_mode(config, x, mask) == "core"
 
 
 def _packed_mode(config: dict):
@@ -224,7 +242,9 @@ def encoder_forward(
                                 packed=packed)
         return h, emb_out
     rate = config["encoder_dropout"] if dropout_rng is not None else 0.0
-    use_core = _use_packed_core(config, h, mask)
+    # encoder sequences are short (L=16 default) so the length gate keeps
+    # this on XLA; with longer k-mer budgets the packed core engages.
+    use_core = _train_kernel_mode(config, h, mask) in ("core", "block")
     for i, block in enumerate(enc["blocks"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None
         h = fft_block(
@@ -261,7 +281,27 @@ def decoder_forward(
         out = linear(dec["out_linear"], h)
         return jax.nn.relu(out)
     rate = config["decoder_dropout"] if dropout_rng is not None else 0.0
-    use_core = _use_packed_core(config, h, mask)
+    kmode = _train_kernel_mode(config, h, mask)
+    if kmode == "block":
+        # Whole-block fused fwd+bwd kernels; dropout scales drawn OUTSIDE
+        # with the same key folding/splitting as the XLA path below, so
+        # the training RNG stream is bit-identical across kernel modes.
+        from ..ops.pallas.block_train import (
+            fused_block_train, make_dropout_scales,
+        )
+
+        for i, block in enumerate(dec["blocks"]):
+            s_a = s_f = None
+            if dropout_rng is not None and rate > 0.0:
+                rng_i = jax.random.fold_in(dropout_rng, i)
+                rng_a, rng_f = jax.random.split(rng_i)
+                s_a = make_dropout_scales(rng_a, rate, h.shape, h.dtype)
+                s_f = make_dropout_scales(rng_f, rate, h.shape, h.dtype)
+            h = fused_block_train(h, block, s_a, s_f,
+                                  config["decoder_heads"])
+        out = linear(dec["out_linear"], h)
+        return jax.nn.relu(out)
+    use_core = kmode == "core"
     for i, block in enumerate(dec["blocks"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None
         h = fft_block(

@@ -109,11 +109,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, gq_ref, gk_ref, gv_ref, *,
         qhat, k3, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (TB, HL, L) f32
-    e_f = jnp.exp(scores * inv_temp - shift)
+    # e goes straight to compute dtype: the FORWARD's num matmul consumed
+    # bf16 e, so the jacobian of the computed function wants the same
+    # values here — and it halves the largest recompute buffer.
     if L_real != L:
         kcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
-        e_f = jnp.where(kcol < L_real, e_f, jnp.float32(0))
-    e = e_f.astype(cd)
+        e = jnp.where(
+            kcol < L_real, jnp.exp(scores * inv_temp - shift),
+            jnp.float32(0),
+        ).astype(cd)
+    else:
+        e = jnp.exp(scores * inv_temp - shift).astype(cd)
 
     # num/den in one matmul (ones column at lane D), exactly as forward.
     EXT = max(128, ((D + 1 + 127) // 128) * 128)
@@ -123,21 +129,29 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, gq_ref, gk_ref, gv_ref, *,
     num_ext = jax.lax.dot_general(
         e, v_ext, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (TB, HL, EXT)
+    )  # (TB, HL, EXT): lanes [0,D) = num (den·ctx), lane D = den
     den = jnp.maximum(num_ext[:, :, D:D + 1], jnp.float32(1e-30))
-    ctx_hl = num_ext[:, :, :D] / den                    # (TB, HL, D) f32
-    # (row (h,t): head h's context in head h's channel block; the other
-    # lanes are cross-head products that ghat's channel mask zeroes out)
 
-    g_a = jax.lax.dot_general(
-        ghat, v3, (((2,), (2,)), ((0,), (0,))),
+    # 1/den folds into ghat — a (HL, D)-sized pass — so no (HL, L)-sized
+    # tensor is ever divided: g_a_n = (ghat/den)@v³ᵀ carries the division
+    # through the matmul (den is constant along the contraction), r_n
+    # likewise, and gv contracts e directly against ghat/den, eliminating
+    # the e_n = e/den buffer and its full-size pass entirely.
+    ghat_n = (ghat.astype(jnp.float32) / den).astype(cd)  # (TB, HL, D)
+    g_a_n = jax.lax.dot_general(
+        ghat_n, v3, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (TB, HL, L): dL/da for head h in row block h
-    r = jnp.sum(ghat.astype(jnp.float32) * ctx_hl, axis=-1, keepdims=True)
-    # dL/dS = e ∘ (g_a − r)/den · τ. e enters the matmuls in compute dtype
-    # (same as forward's num matmul), jacobian arithmetic in f32.
-    dS = (e_f * ((g_a - r) / den) * inv_temp).astype(cd)
-    e_n = (e_f / den).astype(cd)
+    )  # (TB, HL, L): dL/da / den for head h in row block h
+    # softmax-jacobian row dot Σ_d g∘ctx/den = Σ_d (ghat_n∘num)/den —
+    # ctx = num/den needs a second 1/den beyond ghat_n's; it lands on the
+    # (HL, 1) row-dot, never on an (HL, L) tensor. num_ext comes in
+    # directly so ctx is never materialised; ghat's channel mask zeroes
+    # its cross-head lanes.
+    r_n = jnp.sum(ghat_n.astype(jnp.float32) * num_ext[:, :, :D],
+                  axis=-1, keepdims=True) / den
+    # dL/dS = e ∘ (g_a − r)/den · τ — one fused elementwise chain over
+    # the (HL, L) tensor, straight to compute dtype for the matmuls.
+    dS = (e * ((g_a_n - r_n) * inv_temp)).astype(cd)
 
     g_qhat = jax.lax.dot_general(
         dS, k3, (((2,), (1,)), ((0,), (0,))),
@@ -152,9 +166,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, gq_ref, gk_ref, gv_ref, *,
         preferred_element_type=jnp.float32,
     )  # (TB, L, D) — qhat's channel mask kills cross-head terms
     gv = jax.lax.dot_general(
-        e_n, ghat, (((1,), (1,)), ((0,), (0,))),
+        e, ghat_n, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (TB, L, D)
+    )  # (TB, L, D): a_h^T @ g = (e/den)^T @ ghat with 1/den on ghat
     gq_ref[:] = gq.astype(gq_ref.dtype)
     gk_ref[:] = gk.astype(gk_ref.dtype)
     gv_ref[:] = gv.astype(gv_ref.dtype)

@@ -337,25 +337,41 @@ def train_run(
         logger.warning(f"--resume requested but {state_path} not found; "
                        "starting fresh.")
 
-    # Packed-attention training kernels vary in lowerability by backend:
+    # Pallas training kernels vary in lowerability by backend:
     # compile-check fwd+bwd ONCE at the real decoder length before the
-    # loop, and step down to the XLA attention path on failure (the
-    # train-side mirror of predict's first-batch ladder). The probe runs
-    # only when the core would actually engage.
-    from ..models.fft_model import _use_packed_core
+    # loop, stepping down one rung at a time — whole-block kernels ->
+    # attention-core kernels -> pure XLA (the train-side mirror of
+    # predict's first-batch ladder). Probes run only when the rung would
+    # actually engage.
+    from ..models.fft_model import _train_kernel_mode
 
-    _core_probe_x = jnp.zeros(
+    _probe_x = jnp.zeros(
         (1, int(config["max_signal_len"]), int(config["dmodel"])),
         jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
         else jnp.float32,
     )
-    if _use_packed_core(config, _core_probe_x, None):
+    if _train_kernel_mode(config, _probe_x, None) == "block":
+        try:
+            from ..ops.pallas.block_train import probe_block
+
+            probe_block(int(config["max_signal_len"]),
+                        int(config["dmodel"]),
+                        int(config["decoder_heads"]),
+                        dtype=_probe_x.dtype)
+        except Exception as exc:
+            logger.warning(
+                f"Fused-block training kernel unavailable on this backend "
+                f"({type(exc).__name__}); trying the attention-core "
+                "kernels."
+            )
+            config = dict(config, pallas_train="core")
+    if _train_kernel_mode(config, _probe_x, None) == "core":
         try:
             from ..ops.pallas.attn_core import probe_core
 
             probe_core(int(config["max_signal_len"]), int(config["dmodel"]),
                        int(config["decoder_heads"]),
-                       dtype=_core_probe_x.dtype)
+                       dtype=_probe_x.dtype)
         except Exception as exc:
             logger.warning(
                 f"Packed attention training kernel unavailable on this "

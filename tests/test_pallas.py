@@ -266,10 +266,13 @@ def test_fft_block_packed_core_matches_plain(setup):
             rtol=5e-4, atol=1e-4, err_msg=name)
 
 
-def test_train_forward_packed_core_matches_xla():
-    """model_forward_train with config pallas_train=True (forced; interpret
+@pytest.mark.parametrize("mode", ["core", True])
+def test_train_forward_pallas_modes_match_xla(mode):
+    """model_forward_train with config pallas_train forced (interpret
     mode on CPU) vs the default XLA path: same dropout stream, same loss
-    to within core numerics — the whole-train-step integration check."""
+    to within kernel numerics — the whole-train-step integration check
+    for BOTH Pallas rungs ("core" = attention-core VJP, True = whole
+    fused block)."""
     from seq2squiggle_tpu.config import load_config
     from seq2squiggle_tpu.models.fft_model import init_params
     from seq2squiggle_tpu.train.loop import loss_fn
@@ -295,7 +298,7 @@ def test_train_forward_packed_core_matches_xla():
     key = jax.random.key(9)
 
     ref_loss, ref_m = loss_fn(params, batch, mask, cfg, key)
-    cfg_core = dict(cfg, pallas_train=True)
+    cfg_core = dict(cfg, pallas_train=mode)
     out_loss, out_m = loss_fn(params, batch, mask, cfg_core, key)
     np.testing.assert_allclose(float(out_loss), float(ref_loss),
                                rtol=1e-4, atol=1e-5)
@@ -329,3 +332,101 @@ def test_packed_core_grads_match_finite_differences():
         return packed_attention_core(q, k, v, 2)  # H=2, d_k=8
 
     check_grads(f, (q, k, v), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Whole-block training kernels (block_train.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_block_train_matches_xla_with_dropout(setup):
+    """fused_block_train (whole-block fwd+bwd kernels, dropout scales
+    in-kernel) vs the XLA block under jax.grad: values AND every weight
+    grad, dropout ON with the identical RNG stream."""
+    from seq2squiggle_tpu.ops.pallas.block_train import (
+        fused_block_train, make_dropout_scales,
+    )
+
+    cfg, params = setup
+    block = params["decoder"]["blocks"][0]
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((3, 37, 64)), jnp.float32)
+    key = jax.random.key(5)
+    rate = 0.2
+    ra, rf = jax.random.split(key)
+    s_a = make_dropout_scales(ra, rate, x.shape, x.dtype)
+    s_f = make_dropout_scales(rf, rate, x.shape, x.dtype)
+
+    ref = fft_block(block, x, n_head=8, dropout_rate=rate, dropout_rng=key)
+    out = fused_block_train(x, block, s_a, s_f, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(p, xx):
+        return jnp.sum(jnp.square(
+            fft_block(p, xx, n_head=8, dropout_rate=rate, dropout_rng=key)))
+
+    def loss_new(p, xx):
+        return jnp.sum(jnp.square(fused_block_train(xx, p, s_a, s_f, 8)))
+
+    gp_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(block, x)
+    gp_n, gx_n = jax.grad(loss_new, argnums=(0, 1))(block, x)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-5, err_msg="gx")
+    ref_leaves = jax.tree_util.tree_leaves_with_path(gp_r)
+    new_leaves = dict(
+        (jax.tree_util.keystr(kp), leaf)
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(gp_n))
+    for kp, ref_leaf in ref_leaves:
+        name = jax.tree_util.keystr(kp)
+        # tolerances: LN-adjacent grads are near-cancelling sums, so the
+        # atol floor carries them; everything else is rtol-tight
+        np.testing.assert_allclose(
+            np.asarray(new_leaves[name]), np.asarray(ref_leaf),
+            rtol=2e-3, atol=1e-4 * max(1.0, float(
+                np.max(np.abs(np.asarray(ref_leaf))))),
+            err_msg=name)
+
+
+def test_fused_block_train_no_dropout_and_bf16(setup):
+    """No-dropout path (scales=None) and the production bf16 dtype."""
+    from seq2squiggle_tpu.ops.pallas.block_train import fused_block_train
+
+    cfg, params = setup
+    block = params["decoder"]["blocks"][1]
+    rng = np.random.default_rng(22)
+    xf = rng.standard_normal((2, 50, 64)).astype(np.float32)
+
+    ref = fft_block(block, jnp.asarray(xf), n_head=8)
+    out = fused_block_train(jnp.asarray(xf), block, None, None, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    xb = jnp.asarray(xf, jnp.bfloat16)
+    refb = np.asarray(fft_block(block, xb, n_head=8)).astype(np.float32)
+    outb = np.asarray(
+        fused_block_train(xb, block, None, None, 8)).astype(np.float32)
+    tol = 8 * 2.0 ** -8 * max(1.0, float(np.max(np.abs(refb))))
+    assert float(np.max(np.abs(outb - refb))) <= tol
+
+
+def test_fused_block_train_grads_match_finite_differences(setup):
+    """Numerical ground truth for the whole-block backward kernel."""
+    from jax.test_util import check_grads
+
+    from seq2squiggle_tpu.ops.pallas.block_train import (
+        fused_block_train, make_dropout_scales,
+    )
+
+    cfg, params = setup
+    block = params["decoder"]["blocks"][0]
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((1, 10, 64)), jnp.float32)
+    ra, rf = jax.random.split(jax.random.key(2))
+    s_a = make_dropout_scales(ra, 0.2, x.shape, x.dtype)
+    s_f = make_dropout_scales(rf, 0.2, x.shape, x.dtype)
+
+    def f(x, p):
+        return fused_block_train(x, p, s_a, s_f, 8)
+
+    check_grads(f, (x, block), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
