@@ -399,3 +399,40 @@ def test_epoch_batches_prefetch_matches_sync(tmp_path):
         np.testing.assert_array_equal(ma, mb)
         for k in ba:
             np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_train_kernel_probe_ladder_downgrades(tmp_path, monkeypatch):
+    """When the whole-block kernel cannot lower, train_run steps down the
+    pallas_train ladder (block -> core) instead of dying — and the run
+    completes. probe_block is forced to fail; probe_core (interpret on
+    CPU) succeeds, so training proceeds on the attention-core rung."""
+    import seq2squiggle_tpu.ops.pallas.block_train as bt
+    from seq2squiggle_tpu.config import load_config
+    from seq2squiggle_tpu.train.loop import train_run
+    from seq2squiggle_tpu.train.preprocess import build_chunkset, save_chunkset
+    from test_preprocess import make_events
+
+    cfg = load_config(None)
+    cfg.update(dict(compute_dtype="float32", train_batch_size=8,
+                    max_epochs=1, max_chunks_valid=20,
+                    max_signal_len=40, max_dna_len=16,
+                    pallas_train=True))  # force the block rung
+    outdir = tmp_path / "npy"
+    for i in range(2):
+        save_chunkset(build_chunkset(make_events(16 * 4, seed=i), cfg,
+                                     False, False), str(outdir), i)
+
+    calls = {"block": 0}
+
+    def failing_probe(*a, **k):
+        calls["block"] += 1
+        raise RuntimeError("mosaic lowering failed (simulated)")
+
+    monkeypatch.setattr(bt, "probe_block", failing_probe)
+    metrics = train_run(
+        train_dir=str(outdir), valid_dir=None, config=cfg,
+        model_path=str(tmp_path / "m.npz"), save_valid_plots=False,
+        seed=0, max_steps_per_epoch=2,
+    )
+    assert calls["block"] == 1
+    assert "valid_total_loss" in metrics
