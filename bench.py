@@ -355,6 +355,61 @@ def measure_device_compute(cfg, n_iters=32):
     return out
 
 
+def measure_train_step(cfg, batch_size=256, n_iters=17):
+    """Steady-state ms/step of the production jitted train step (forward +
+    three-term loss + grads + optimizer update), slope method — so the
+    bench artifact also records TRAINING throughput per round. Synthetic
+    preprocessed chunks, default model size, bf16 compute."""
+    import jax
+    import numpy as np
+
+    from seq2squiggle_tpu.models.fft_model import init_params
+    from seq2squiggle_tpu.train.loop import make_train_step
+    from seq2squiggle_tpu.train.optimizers import build_optimizer
+
+    config = dict(cfg, compute_dtype="bfloat16")
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    B, K, T = batch_size, int(config["max_dna_len"]), int(
+        config["max_signal_len"])
+    k5 = int(config["seq_kmer"]) * 5
+    batch = {
+        "chunks": jax.device_put(
+            rng.integers(0, 2, (B, K, k5)).astype(np.float32), dev),
+        "targets": jax.device_put(
+            rng.standard_normal((B, T, 1)).astype(np.float32), dev),
+        "chunks_lengths": jax.device_put(
+            rng.integers(1, 30, (B, K)).astype(np.int32), dev),
+        "stdevs": jax.device_put(
+            np.abs(rng.standard_normal((B, K))).astype(np.float32), dev),
+    }
+    mask = jax.device_put(np.ones(B, np.float32), dev)
+    key = jax.random.key(1)
+    optimizer = build_optimizer(config, total_steps=10_000)
+    step = make_train_step(config, optimizer)
+    p = jax.device_put(init_params(config, jax.random.key(0)), dev)
+    o = jax.device_put(optimizer.init(p), dev)
+
+    def run(m, p, o):
+        t0 = time.perf_counter()
+        metrics = None
+        for _ in range(m):
+            p, o, metrics = step(p, o, batch, mask, key)
+        np.asarray(metrics["total_loss"])  # 4-byte fetch = the sync
+        return time.perf_counter() - t0, p, o
+
+    _, p, o = run(1, p, o)  # compile
+    slopes = []
+    for _ in range(3):
+        t1, p, o = run(1, p, o)
+        tn, p, o = run(n_iters, p, o)
+        slopes.append((tn - t1) / (n_iters - 1))
+    ms = min(slopes) * 1e3
+    return {"train_ms_per_step": round(ms, 2),
+            "train_batch": B,
+            "train_kchunks_per_s": round(B / ms, 1)}
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "cpu":
         return cpu_denominator_main()
@@ -445,6 +500,11 @@ def main():
                 * med_stats["samples"] / med_stats["chunks"] / 1e3, 1,
             )
         except Exception:  # the probe must never sink the headline bench
+            pass
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            detail.update(measure_train_step(cfg))
+        except Exception:  # same: never sink the headline
             pass
 
     result = {
