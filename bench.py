@@ -29,9 +29,12 @@ import tempfile
 import time
 
 N_READS = int(os.environ.get("BENCH_READS", 10_000))
-# 2048-chunk batches halve the per-batch device round trips vs the CLI
-# default of 1024 — significant over the network-tunneled chip.
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+# Large batches amortise the per-dispatch fixed costs (RPC serialisation,
+# pytree flattening, device_put round trips) that dominate the 1-core
+# host's dispatch/h2d threads. Measured (round 5, adjacent windows):
+# B=2048 -> 5.99 s median; B=4096 -> 5.45/5.54 s (process CPU 4.09 ->
+# 3.62 s), device ms/chunk unchanged.
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
 N_CPU_READS = int(os.environ.get("BENCH_CPU_READS", 32))
 # Backend-init retries: the tunneled backend's claim attempt blocks up to
