@@ -335,12 +335,13 @@ def _block_fwd_call(x, weights, s_a, s_f, n_head, tile_b, interpret):
 def _block_bwd_call(x, weights, s_a, s_f, g, n_head, tile_b, interpret):
     B, L, D = x.shape
     Lp = ((L + 7) // 8) * 8
-    # backward holds the full attention recompute + FFN chain: TB=1 fits
-    # the VMEM scoped budget at L=256 (see attn_core._core_bwd_call).
-    # S2S_BLOCK_BWD_TILE overrides for profiling A/Bs.
+    # backward holds the full attention recompute + FFN chain; TB=2 needs
+    # the raised vmem_limit_bytes below and is the measured fastest
+    # (B=1024 step: TB=1 30.0 ms, TB=2 27.7, TB=4 28.4 — hardware,
+    # round 5). S2S_BLOCK_BWD_TILE overrides for profiling A/Bs.
     import os
 
-    TB = tile_b or int(os.environ.get("S2S_BLOCK_BWD_TILE", 0)) or 1
+    TB = tile_b or int(os.environ.get("S2S_BLOCK_BWD_TILE", 0)) or 2
     dropout = s_a is not None
     xp = _pad3(x, Lp, TB)
     gp = _pad3(g, Lp, TB)
@@ -370,6 +371,11 @@ def _block_bwd_call(x, weights, s_a, s_f, g, n_head, tile_b, interpret):
         out_specs=(tile, *gw_specs),
         out_shape=(jax.ShapeDtypeStruct((Bp, Lp, D), x.dtype), *gw_shapes),
         interpret=_auto_interpret(interpret),
+        # the backward's live set exceeds Mosaic's default scoped budget
+        # at TB>1; raise the cap so larger batch tiles can be profiled
+        # (S2S_BLOCK_BWD_TILE) — harmless at TB=1
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, *weights, *extra, gp)
     gx = outs[0]
     if Bp != B or Lp != L:
