@@ -15,6 +15,11 @@ Offline search methods (top-level `method:` key in the YAML):
              `min_epochs` (default 1), the best 1/`eta` (default 3)
              advance to an eta× epoch budget each rung until one
              survives (budgets capped at the config's max_epochs)
+  bayes    — wandb-`method: bayes` analogue: Gaussian-process surrogate
+             (sklearn, Matern kernel) over unit-cube-encoded params,
+             expected-improvement acquisition maximised over random
+             candidates; the first few trials (and the sklearn-less
+             fallback) are random
 """
 
 from __future__ import annotations
@@ -46,6 +51,93 @@ def _sample_param(spec, rng: random.Random):
         if "value" in spec:
             return spec["value"]
     return spec
+
+
+def _bayes_encoding(parameters: dict):
+    """Unit-cube encoding of the search space for the GP surrogate.
+
+    Returns (dims, decode) where dims is a list of (key, kind, payload)
+    for every FREE parameter — kind 'values' (ordinal over the list) or
+    'range' (linear or log min/max) — and decode maps a [0,1]^d point
+    back to a {key: value} trial dict (fixed `value:` params included).
+    Ordinal treatment of `values` lists is an offline approximation of
+    wandb's categorical handling; the lists here are ordered magnitudes
+    (lr grids, layer widths), where ordinal distance is meaningful.
+    """
+    import math
+
+    dims, fixed = [], {}
+    for k, spec in parameters.items():
+        if not isinstance(spec, dict):
+            fixed[k] = spec
+        elif "values" in spec:
+            vals = list(spec["values"])
+            if len(vals) == 1:
+                fixed[k] = vals[0]
+            else:
+                dims.append((k, "values", vals))
+        elif "min" in spec and "max" in spec:
+            lo, hi = spec["min"], spec["max"]
+            log = str(spec.get("distribution", "")).startswith("log")
+            if log:
+                lo_t, hi_t = math.log(lo), math.log(hi)
+            else:
+                lo_t, hi_t = float(lo), float(hi)
+            is_int = (not log and isinstance(lo, int) and isinstance(hi, int))
+            dims.append((k, "range", (lo_t, hi_t, log, is_int)))
+        elif "value" in spec:
+            fixed[k] = spec["value"]
+
+    def decode(u):
+        import math
+
+        out = dict(fixed)
+        for x, (k, kind, payload) in zip(u, dims):
+            x = min(max(float(x), 0.0), 1.0)
+            if kind == "values":
+                vals = payload
+                out[k] = vals[min(int(x * len(vals)), len(vals) - 1)]
+            else:
+                lo_t, hi_t, log, is_int = payload
+                v = lo_t + x * (hi_t - lo_t)
+                if log:
+                    v = math.exp(v)
+                out[k] = int(round(v)) if is_int else v
+        return out
+
+    return dims, decode
+
+
+def _bayes_propose(X, y, n_dims, rng: random.Random, n_candidates=256):
+    """Expected-improvement argmax over random unit-cube candidates,
+    using a GP surrogate fit on the observed (X, y). Returns a point in
+    [0,1]^d, or a random one when the GP cannot be fit."""
+    import numpy as np
+
+    cands = [[rng.random() for _ in range(n_dims)]
+             for _ in range(n_candidates)]
+    try:
+        from sklearn.gaussian_process import GaussianProcessRegressor
+        from sklearn.gaussian_process.kernels import Matern
+
+        gp = GaussianProcessRegressor(
+            kernel=Matern(nu=2.5), normalize_y=True, alpha=1e-6,
+            random_state=rng.randrange(2**31))
+        gp.fit(np.asarray(X, float), np.asarray(y, float))
+        mu, sigma = gp.predict(np.asarray(cands, float), return_std=True)
+    except Exception as exc:  # sklearn absent or degenerate fit
+        logger.debug(f"bayes surrogate unavailable ({exc}); random point")
+        return cands[0]
+    best = min(y)
+    sigma = np.maximum(sigma, 1e-12)
+    z = (best - mu) / sigma
+    # EI for minimisation: (best-mu)*Phi(z) + sigma*phi(z)
+    from math import erf, exp, pi, sqrt
+
+    phi = np.array([exp(-0.5 * v * v) / sqrt(2 * pi) for v in z])
+    Phi = np.array([0.5 * (1 + erf(v / sqrt(2))) for v in z])
+    ei = (best - mu) * Phi + sigma * phi
+    return cands[int(np.argmax(ei))]
 
 
 def _grid_points(parameters: dict) -> list:
@@ -176,6 +268,21 @@ def sweep_run(sweep_id: str, count: int, config: dict, seed: int,
             survivors = [tp for _, tp in scored[:max(1, len(scored) // eta)]]
             budget *= eta
             rung += 1
+    elif method == "bayes":
+        dims, decode = _bayes_encoding(parameters)
+        n_init = int(space.get("n_init", max(2, min(5, count // 2))))
+        X, y = [], []
+        for i in range(count):
+            if not dims:
+                u = []
+            elif i < n_init or len(y) < 2:
+                u = [rng.random() for _ in range(len(dims))]
+            else:
+                u = _bayes_propose(X, y, len(dims), rng)
+            score = run_trial(decode(u), record={"point": list(u)})
+            if dims:
+                X.append(list(u))
+                y.append(score if score == score else 1e30)  # NaN guard
     else:
         for _ in range(count):
             trial_params = {

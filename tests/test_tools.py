@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from seq2squiggle_tpu.tools.standardize_events import (
     parse_sigtk_file,
@@ -131,6 +132,72 @@ def test_offline_sweep_grid(tmp_path):
     assert len(rows) == 4  # full 2x2 grid (count caps, not pads)
     combos = {(r["params"]["lr"], r["params"]["dff"]) for r in rows}
     assert combos == {(1e-3, 128), (1e-3, 256), (5e-4, 128), (5e-4, 256)}
+
+
+def test_bayes_encoding_and_proposal_minimises():
+    """Unit test of the bayes machinery without any training: the GP+EI
+    proposer should concentrate near the minimum of a smooth 1-D bowl
+    far faster than the prior's uniform spread."""
+    import random
+
+    from seq2squiggle_tpu.train.sweep import _bayes_encoding, _bayes_propose
+
+    params = {"lr": {"min": 1e-5, "max": 1e-1, "distribution": "log_uniform"},
+              "dff": {"value": 256}}
+    dims, decode = _bayes_encoding(params)
+    assert [d[0] for d in dims] == ["lr"]  # fixed param excluded
+    assert decode([0.0])["lr"] == pytest.approx(1e-5)
+    assert decode([1.0])["lr"] == pytest.approx(1e-1)
+    assert decode([0.5])["dff"] == 256
+
+    rng = random.Random(0)
+    target = 0.3
+
+    def f(u):
+        return (u[0] - target) ** 2
+
+    X = [[rng.random()] for _ in range(4)]
+    y = [f(x) for x in X]
+    props = []
+    for _ in range(8):
+        u = _bayes_propose(X, y, 1, rng)
+        X.append(list(u))
+        y.append(f(u))
+        props.append(u[0])
+    # the last proposals sit near the bowl's bottom
+    assert min(abs(p - target) for p in props[-4:]) < 0.05
+    assert min(y) < min(y[:4])
+
+
+def test_offline_sweep_bayes(tmp_path):
+    import json
+
+    import yaml
+
+    from seq2squiggle_tpu.train.sweep import sweep_run
+
+    cfg, outdir = _sweep_setup(tmp_path)
+    cfg["max_epochs"] = 1
+    space = {
+        "train_dir": str(outdir),
+        "method": "bayes",
+        "n_init": 2,
+        "parameters": {"lr": {"min": 1e-4, "max": 1e-2,
+                              "distribution": "log_uniform"},
+                       "dff": {"value": 256}},
+    }
+    sweep_file = tmp_path / "sweep.yaml"
+    sweep_file.write_text(yaml.safe_dump(space))
+    sweep_run(str(sweep_file), count=3, config=cfg, seed=0)
+    rows = [json.loads(line) for line in
+            (tmp_path / "sweep_results.jsonl").read_text().splitlines()]
+    assert len(rows) == 3
+    for r in rows:
+        assert 1e-4 <= r["params"]["lr"] <= 1e-2
+        assert r["params"]["dff"] == 256
+        assert len(r["point"]) == 1  # the encoded point is recorded
+    # trial 2 was GP-proposed from trials 0-1 (just shape/record checks
+    # here; the optimisation behaviour is pinned by the unit test above)
 
 
 def test_offline_sweep_halving(tmp_path):
