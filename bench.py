@@ -50,6 +50,19 @@ LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
 
+def _sys_busy_seconds():
+    """Whole-SYSTEM busy CPU seconds since boot (/proc/stat line 1, all
+    fields except idle+iowait), or None off-Linux. Sampled around each
+    bench run: system busy minus our own process_time = CPU taken by
+    other processes — the 1-core host's dominant wall inflator."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (sum(vals) - vals[3] - vals[4]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def sim_kwargs(cfg, weights, out, batch):
     return dict(
         config=dict(cfg), saved_weights=weights,
@@ -440,9 +453,20 @@ def main():
         os.remove(out)
 
         for _ in range(max(N_RUNS, 1)):
+            busy0, proc0 = _sys_busy_seconds(), time.process_time()
             t0 = time.perf_counter()
             stats = simulate_run(**{**warm, "n": N_READS})
             wall = time.perf_counter() - t0
+            # CPU seconds burned by OTHER processes while this run was in
+            # flight: the bench host has ONE core, so a co-running job
+            # inflates the wall 2-3x (BASELINE.md round 5). Recording the
+            # split makes a slow artifact self-attributing: high
+            # host_other_cpu_s = contention, not a pipeline regression.
+            busy1 = _sys_busy_seconds()
+            if busy1 is not None and busy0 is not None:
+                stats["host_other_cpu_s"] = round(
+                    max(0.0, (busy1 - busy0)
+                        - (time.process_time() - proc0)), 2)
             runs.append((wall, stats))
             blow5_bytes = os.path.getsize(out)
             os.remove(out)
@@ -479,6 +503,8 @@ def main():
     per_run = []
     for wall, stats in runs:
         row = {"wall_s": round(wall, 2)}
+        if stats.get("host_other_cpu_s") is not None:
+            row["host_other_cpu_s"] = stats["host_other_cpu_s"]
         if stats.get("timers"):
             row["stage_timers_s"] = stats["timers"]
         per_run.append(row)

@@ -34,7 +34,7 @@ _SENTINEL = object()
 class AsyncWriter:
     """Wrap a BLOW5/POD5 writer; write_batch() enqueues, a worker drains."""
 
-    def __init__(self, writer, max_queued_batches: int = 4):
+    def __init__(self, writer, max_queued_batches: int = 8):
         self._writer = writer
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queued_batches)
         self._error: Optional[BaseException] = None

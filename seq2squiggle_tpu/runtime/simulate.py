@@ -266,8 +266,15 @@ def simulate_run(
     # export run on a dedicated drain thread: fetching is a network wait
     # (GIL released), so the decode of batch N overlaps the transfer of
     # batch N+1 even on this 1-core host. The bounded queue caps in-flight
-    # device memory (~3 MB/batch) and applies back-pressure.
-    pipeline_depth = 6
+    # device memory (~3 MB/batch) and applies back-pressure. Depth 12:
+    # deep enough that a BURSTY stall (scheduling delay under host
+    # contention, a slow tunnel window) drains from buffered work instead
+    # of convoying the whole pipeline — under a synthetic 50%-duty bursty
+    # load the 10k bench measured 5.45/5.55 s with depth 12/6/8
+    # (drain/h2d/writer) vs 5.90/6.75 s with the old 6/3/4, isolated wall
+    # unchanged; steady contention is unaffected either way (the core
+    # simply isn't there). In-flight memory stays ~6 MB of wire buffers.
+    pipeline_depth = 12
 
     # (predict_fn, knobs) swap as ONE tuple: the decode thread's _downgrade
     # replaces both together, and the dispatch loop reads both from a single
@@ -523,7 +530,9 @@ def simulate_run(
     # bounded queue, so neither sits on the critical path between device
     # dispatches. device_put is thread-safe and async; the queue depth
     # caps in-flight device input memory (~50 KB/batch of windowed codes).
-    h2d_queue: "queue.Queue" = queue.Queue(maxsize=3)
+    # Depth 6 lets prep run ahead through other stages' CPU bursts on the
+    # 1-core host (same convoy rationale as pipeline_depth above).
+    h2d_queue: "queue.Queue" = queue.Queue(maxsize=6)
     h2d_err: list = []
 
     def _h2d_producer():
