@@ -479,6 +479,15 @@ def main():
         return emit_failure(f"died after {len(runs)} run(s): {exc}",
                             attempts, partial=partial)
 
+    other = [s.get("host_other_cpu_s") for _, s in runs
+             if s.get("host_other_cpu_s") is not None]
+    if other and max(other) > 1.5:
+        # The 1-core bench host inflates walls 1.5-2.6x under co-running
+        # CPU load (BASELINE.md round 5); flag it so a slow headline is
+        # read as contention, not a pipeline regression.
+        print(f"bench: host contention detected — other processes burned "
+              f"{max(other):.1f}s CPU during a measured run; walls are "
+              f"inflated (run bench.py on an idle host)", file=sys.stderr)
     walls = sorted(w for w, _ in runs)
     med_wall, med_stats = sorted(runs, key=lambda r: r[0])[len(runs) // 2]
     ks = round(med_stats["samples"] / med_stats["seconds"] / 1e3, 1)
