@@ -276,3 +276,84 @@ def test_batch_append_across_sessions(tmp_path):
     assert len(records) == 21
     for rec, sig in zip(records, all_sigs):
         np.testing.assert_array_equal(rec["signal"], sig)
+
+
+def _bulk_roundtrip(tmp_path, monkeypatch, fake_pwrite):
+    """Drive Slow5FileWriter.write_bulk with a patched os.pwrite and return
+    (expected payload, bytes actually landed after the header)."""
+    import mmap
+    import os as _os
+
+    path = str(tmp_path / "bulk.blow5")
+    w = Slow5FileWriter(path)
+    w.open({"run_id": "r0"})
+    # Force the O_DIRECT branch even on filesystems that refuse O_DIRECT
+    # (tmpfs): a plain fd has identical pwrite semantics for this test.
+    if getattr(w, "_fd_direct", -1) < 0:
+        w._fd_direct = _os.open(path, _os.O_WRONLY)
+    hdr_end = w._fh.tell()
+
+    n = 3 * w._DIRECT_ALIGN + 123  # head + two aligned pages + tail
+    s0 = w.direct_source_offset()
+    m = mmap.mmap(-1, s0 + n + w._DIRECT_ALIGN)
+    buf = np.frombuffer(m, np.uint8)
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, n, dtype=np.uint8)
+    buf[s0:s0 + n] = payload
+
+    monkeypatch.setattr(_os, "pwrite", fake_pwrite)
+    w.write_bulk(buf, s0, n)
+    assert w._fh.tell() == hdr_end + n  # stream position advanced fully
+    monkeypatch.undo()
+    w.close()
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return payload, data[hdr_end:hdr_end + n]
+
+
+def test_write_bulk_short_pwrite_loops(tmp_path, monkeypatch):
+    """A pwrite that lands fewer bytes than asked must be retried until the
+    whole aligned middle is on disk (no gap of garbage mid-file)."""
+    import os as _os
+
+    real = _os.pwrite
+    calls = []
+
+    def short(fd, mv, off):
+        nwritten = real(fd, bytes(mv[:1024]), off)
+        calls.append(nwritten)
+        return nwritten
+
+    payload, landed = _bulk_roundtrip(tmp_path, monkeypatch, short)
+    np.testing.assert_array_equal(np.frombuffer(landed, np.uint8), payload)
+    assert len(calls) > 1  # the loop actually retried
+
+
+def test_write_bulk_pwrite_failure_falls_back(tmp_path, monkeypatch):
+    """If O_DIRECT pwrite fails outright, the remainder must land through
+    the buffered fh at the correct offset."""
+
+    def boom(fd, mv, off):
+        raise OSError(28, "No space left on device")
+
+    payload, landed = _bulk_roundtrip(tmp_path, monkeypatch, boom)
+    np.testing.assert_array_equal(np.frombuffer(landed, np.uint8), payload)
+
+
+def test_write_bulk_partial_then_failure(tmp_path, monkeypatch):
+    """One short direct write followed by a hard failure: the already-landed
+    prefix stays, the rest arrives via the buffered fallback, byte-exact."""
+    import os as _os
+
+    real = _os.pwrite
+    state = {"n": 0}
+
+    def flaky(fd, mv, off):
+        state["n"] += 1
+        if state["n"] > 1:
+            raise OSError(28, "No space left on device")
+        return real(fd, bytes(mv[:4096]), off)
+
+    payload, landed = _bulk_roundtrip(tmp_path, monkeypatch, flaky)
+    np.testing.assert_array_equal(np.frombuffer(landed, np.uint8), payload)
