@@ -357,3 +357,50 @@ def test_write_bulk_partial_then_failure(tmp_path, monkeypatch):
 
     payload, landed = _bulk_roundtrip(tmp_path, monkeypatch, flaky)
     np.testing.assert_array_equal(np.frombuffer(landed, np.uint8), payload)
+
+
+def test_native_load_retries_without_zstd(tmp_path, monkeypatch):
+    """A cached .so that fails to dlopen (e.g. built against a libzstd that
+    has since vanished) must be deleted and rebuilt without the optional
+    zstd dependency — not silently disable every native fast path."""
+    import ctypes
+    import os
+    import shutil
+
+    from seq2squiggle_tpu.io.native import build
+
+    real_so = build._cache_path()
+    if not os.path.exists(real_so) and build.load_native() is None:
+        pytest.skip("native codec unavailable in this environment")
+
+    cached = str(tmp_path / "libslow5codec-test.so")
+    shutil.copy(real_so, cached)
+    monkeypatch.setattr(build, "_cache_path", lambda: cached)
+
+    rebuilds = []
+
+    def fake_compile(out_path, allow_zstd=True):
+        rebuilds.append(allow_zstd)
+        shutil.copy(real_so, out_path)  # stand-in for the no-zstd build
+        return True
+
+    monkeypatch.setattr(build, "_compile", fake_compile)
+
+    real_cdll = ctypes.CDLL
+    attempts = {"n": 0}
+
+    def flaky_cdll(path, *args, **kwargs):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise OSError(
+                "libzstd.so.1: cannot open shared object file")
+        return real_cdll(path, *args, **kwargs)
+
+    monkeypatch.setattr(ctypes, "CDLL", flaky_cdll)
+    monkeypatch.setattr(build, "_LIB", None)
+    monkeypatch.setattr(build, "_TRIED", False)
+
+    lib = build.load_native()
+    assert lib is not None
+    assert rebuilds == [False]  # exactly one retry, zstd excluded
+    assert attempts["n"] == 2
