@@ -321,7 +321,9 @@ def test_write_bulk_short_pwrite_loops(tmp_path, monkeypatch):
     calls = []
 
     def short(fd, mv, off):
-        nwritten = real(fd, bytes(mv[:1024]), off)
+        # Cap each call at one page, slicing the caller's page-aligned
+        # buffer (an O_DIRECT fd rejects copies into unaligned memory).
+        nwritten = real(fd, mv[:4096], off)
         calls.append(nwritten)
         return nwritten
 
@@ -353,7 +355,7 @@ def test_write_bulk_partial_then_failure(tmp_path, monkeypatch):
         state["n"] += 1
         if state["n"] > 1:
             raise OSError(28, "No space left on device")
-        return real(fd, bytes(mv[:4096]), off)
+        return real(fd, mv[:4096], off)
 
     payload, landed = _bulk_roundtrip(tmp_path, monkeypatch, flaky)
     np.testing.assert_array_equal(np.frombuffer(landed, np.uint8), payload)
